@@ -1,0 +1,419 @@
+"""Scan-to-map registration: P2P / GICP / VGICP / AVGICP on TPU.
+
+Re-implements the reference's Registration module (reference:
+src/app/localization/pcm_matching/src/registration.cpp) as one jitted
+fixed-shape Gauss-Newton/LM loop:
+
+  * RunRegister's iterate-until-converged outer loop (cpp:273-418) becomes a
+    ``lax.while_loop`` whose carry holds (pose, iteration, fitness, local_cov,
+    done/failed flags) — early exits (overlap gate cpp:351-356, termination
+    cpp:380-391) are loop-carried booleans, not control flow;
+  * the per-point 6x6 JTJ / 6x1 JTr accumulations of the four AlignClouds*
+    solvers (cpp:15-225) become masked batched einsums with the Jacobian's
+    [I | -skew(p)] block structure expanded analytically;
+  * correspondence search is the packed-grid query (map/grid.py).
+
+Reference quirks preserved:
+  * the robust weight is th^2 / (th + |r|^2)^2 — th is NOT squared in the
+    denominator's first term (cpp:44, 121, 199);
+  * VGICP/AVGICP skip residuals with weight < 0.01 from both JTJ and the
+    fitness numerator, but the denominator stays the full match count
+    (cpp:199-207);
+  * AVGICP's overlap ratio counts (point, voxel) PAIRS against the point
+    count, so it can exceed 1 (cpp:349-351 with GetCorrespondencesAllCov);
+  * only the GICP solver writes local_cov; other methods leave it identity
+    (cpp:280, 140-142) — the downstream covariance shaping sees identity;
+  * use_radar_cov point covariances are computed from the *globally
+    transformed* cloud once per registration (cpp:302-305) and the scaling is
+    R @ S, not R S R^T (hpp:186-208).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import IcpMethod, PcmConfig
+from ..map import grid as mapgrid
+from ..ops import lie
+
+
+@struct.dataclass
+class IcpParams:
+    """Continuous registration parameters (dynamic pytree leaves).
+    Mirrors RegistrationConfig (registration.hpp:62-85)."""
+
+    max_search_dist: jnp.ndarray
+    lm_lambda: jnp.ndarray
+    termination_threshold: jnp.ndarray
+    min_overlap_ratio: jnp.ndarray
+    max_fitness_score: jnp.ndarray
+    range_variance_m: jnp.ndarray
+    azimuth_variance_deg: jnp.ndarray
+    elevation_variance_deg: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class IcpStatic:
+    """Compile-time registration switches."""
+
+    method: int = int(IcpMethod.GICP)
+    max_iteration: int = 10
+    use_radar_cov: bool = False
+
+
+def make_icp_params(cfg: PcmConfig, dtype=jnp.float32) -> IcpParams:
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    return IcpParams(
+        max_search_dist=f(cfg.max_search_dist),
+        lm_lambda=f(cfg.lm_lambda),
+        termination_threshold=f(cfg.icp_termination_threshold_m),
+        min_overlap_ratio=f(cfg.min_overlap_ratio),
+        max_fitness_score=f(cfg.max_fitness_score),
+        range_variance_m=f(cfg.range_variance_m),
+        azimuth_variance_deg=f(cfg.azimuth_variance_deg),
+        elevation_variance_deg=f(cfg.elevation_variance_deg),
+    )
+
+
+def make_icp_static(cfg: PcmConfig) -> IcpStatic:
+    return IcpStatic(
+        method=int(cfg.icp_method),
+        max_iteration=int(cfg.max_iteration),
+        use_radar_cov=bool(cfg.use_radar_cov),
+    )
+
+
+@struct.dataclass
+class IcpResult:
+    pose: jnp.ndarray        # [4,4] refined sensor pose (global)
+    success: jnp.ndarray     # bool
+    fitness: jnp.ndarray     # scalar (method-specific score, lower = better)
+    local_cov: jnp.ndarray   # [6,6] (JTJ + lambda diag)^-1 — GICP only
+    iterations: jnp.ndarray  # int32
+    overlap: jnp.ndarray     # last correspondence ratio
+
+
+# --------------------------------------------------------------------------- #
+# Small linear-algebra helpers
+# --------------------------------------------------------------------------- #
+
+def _inv3x3(m):
+    """Batched closed-form 3x3 inverse (adjugate/det) — cheaper and more
+    fusion-friendly on TPU than linalg.inv for [N,3,3] stacks."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
+def _accumulate_gn(src_local, tgt_global, maha, w, mask, pose):
+    """Masked sum of J^T M J and J^T M r with J = [I | -skew(p_local)]
+    (cpp:36-48 / 115-125 / 193-205). All inputs are flat [K,...] batches."""
+    inv_pose = lie.transform_inverse(pose)
+    tgt_local = (
+        jnp.einsum("ij,kj->ki", inv_pose[:3, :3], tgt_global) + inv_pose[:3, 3]
+    )
+    r = tgt_local - src_local                                  # [K,3]
+    wm = (w * mask)[:, None, None]
+    A = wm * maha                                              # [K,3,3]
+    S = lie.skew(src_local)                                    # [K,3,3]
+    # No symmetry assumed on A: the reference's SVD-regularized covariances
+    # (U diag V^T) are asymmetric at degenerate singular values, and it feeds
+    # them into J^T M J verbatim — so bl != tr^T in general.
+    AS = jnp.einsum("kij,kjl->kil", A, S)                      # [K,3,3]
+    tl = jnp.sum(A, axis=0)                                    # sum M
+    tr = -jnp.sum(AS, axis=0)                                  # sum -M S
+    bl = jnp.einsum("kij,kjl->il", S, A)                       # sum S M
+    br = -jnp.einsum("kij,kjl->il", S, AS)                     # sum -S M S
+    Ar = jnp.einsum("kij,kj->ki", A, r)                        # [K,3]
+    jtr_top = jnp.sum(Ar, axis=0)
+    jtr_bot = jnp.einsum("kij,kj->i", S, Ar)                   # sum S M r
+    JTJ = jnp.block([[tl, tr], [bl, br]])
+    JTr = jnp.concatenate([jtr_top, jtr_bot])
+    return JTJ, JTr, r
+
+
+def _solve_step(JTJ, JTr, lm_lambda):
+    """LM-damped solve (cpp:55-56) -> (x, regularized JTJ)."""
+    reg = JTJ + lm_lambda * jnp.diag(jnp.diag(JTJ))
+    x = jnp.linalg.solve(reg, JTr)
+    return x, reg
+
+
+def _step_transform(x):
+    """6-vector -> small SE(3) transform (cpp:58-62)."""
+    return lie.make_transform(lie.so3_exp(x[3:6]), x[0:3])
+
+
+def _smallest_eigvec(covs):
+    """Unit eigenvector of the smallest eigenvalue for [N,3,3] symmetric
+    matrices (cpp:88-95 uses SelfAdjointEigenSolver; eigh is ascending)."""
+    _, vecs = jnp.linalg.eigh(covs)
+    return vecs[..., :, 0]
+
+
+def radar_point_cov(points, params: IcpParams):
+    """Per-point range/azimuth/elevation covariance (reference: CalPointCov,
+    registration.hpp:186-208). Quirk preserved: returns R @ S (no R^T)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    dist = jnp.sqrt(x * x + y * y)
+    d2r = jnp.pi / 180.0
+    s_x = jnp.broadcast_to(params.range_variance_m, dist.shape)
+    s_y = jnp.maximum(0.1, dist * jnp.sin(params.azimuth_variance_deg * d2r))
+    s_z = jnp.maximum(0.1, dist * jnp.sin(params.elevation_variance_deg * d2r))
+    ele = jnp.arctan2(z, dist)
+    azi = jnp.arctan2(y, x)
+    cy, sy_ = jnp.cos(azi), jnp.sin(azi)
+    cp, sp = jnp.cos(ele), jnp.sin(ele)
+    # R = Rz(azi) @ Ry(ele)
+    zero = jnp.zeros_like(azi)
+    R = jnp.stack(
+        [
+            jnp.stack([cy * cp, -sy_, cy * sp], -1),
+            jnp.stack([sy_ * cp, cy, sy_ * sp], -1),
+            jnp.stack([-sp, zero, cp], -1),
+        ],
+        axis=-2,
+    )
+    S = jnp.zeros(points.shape[:-1] + (3, 3), dtype=points.dtype)
+    S = S.at[..., 0, 0].set(s_x).at[..., 1, 1].set(s_y).at[..., 2, 2].set(s_z)
+    return jnp.einsum("kij,kjl->kil", R, S)
+
+
+# --------------------------------------------------------------------------- #
+# One correspondence + align iteration per method
+# --------------------------------------------------------------------------- #
+
+def _iteration(pose, src_local, src_valid, grid, params, static, radar_cov):
+    """One RunRegister loop body: correspondence -> (matched, JTJ, JTr,
+    fitness, reg) for the configured method."""
+    dtype = src_local.dtype
+    src_global = lie.transform_points(pose, src_local)
+    method = static.method
+    eye3 = jnp.eye(3, dtype=dtype)
+    rot_inv = pose[:3, :3].T
+
+    if method == int(IcpMethod.P2P):
+        target, valid, _, _ = mapgrid.query_nearest_point(
+            grid, src_global, params.max_search_dist
+        )
+        valid = valid & src_valid
+        matched = jnp.sum(valid)
+        maha = jnp.broadcast_to(eye3, (src_local.shape[0], 3, 3))
+        inv_pose = lie.transform_inverse(pose)
+        tgt_local = (
+            jnp.einsum("ij,kj->ki", inv_pose[:3, :3], target) + inv_pose[:3, 3]
+        )
+        r = tgt_local - src_local
+        r2 = jnp.sum(r * r, axis=-1)
+        th = params.max_search_dist
+        w = th * th / (th + r2) ** 2
+        JTJ, JTr, _ = _accumulate_gn(
+            src_local, target, maha, w, valid.astype(dtype), pose
+        )
+        fit_num = jnp.sum(jnp.where(valid, jnp.sqrt(r2), 0.0))
+
+    elif method == int(IcpMethod.GICP):
+        target, cov, cov_mean, valid = mapgrid.query_nearest_point_cov(
+            grid, src_global, params.max_search_dist
+        )
+        valid = valid & src_valid
+        matched = jnp.sum(valid)
+        # GICP residuals run against the neighborhood mean, not the matched
+        # point (cpp:97-101 reads target.covariance.mean).
+        RCR = jnp.einsum("ij,kjl,ml->kim", rot_inv, cov, rot_inv)
+        if static.use_radar_cov:
+            RCR = RCR + radar_cov
+        maha = _inv3x3(RCR)
+        inv_pose = lie.transform_inverse(pose)
+        tgt_local = (
+            jnp.einsum("ij,kj->ki", inv_pose[:3, :3], cov_mean) + inv_pose[:3, 3]
+        )
+        r = tgt_local - src_local
+        r2 = jnp.sum(r * r, axis=-1)
+        th = params.max_search_dist
+        w = th * th / (th + r2) ** 2 * 0.8 + 0.2
+        JTJ, JTr, _ = _accumulate_gn(
+            src_local, cov_mean, maha, w, valid.astype(dtype), pose
+        )
+        normal_local = jnp.einsum("ij,kj->ki", rot_inv, _smallest_eigvec(cov))
+        normal_local = normal_local / jnp.maximum(
+            jnp.linalg.norm(normal_local, axis=-1, keepdims=True), 1e-30
+        )
+        fit_num = jnp.sum(
+            jnp.where(valid, jnp.abs(jnp.sum(r * normal_local, axis=-1)), 0.0)
+        )
+
+    else:  # VGICP / AVGICP share the voxel-cov solver (cpp:358-374)
+        if method == int(IcpMethod.VGICP):
+            cov, mean, valid = mapgrid.query_nearest_voxel_cov(
+                grid, src_global, params.max_search_dist
+            )
+            valid = valid & src_valid
+            src_flat, cov_flat, mean_flat, valid_flat = src_local, cov, mean, valid
+            radar_flat = radar_cov
+        else:  # AVGICP: up to 7 (point, voxel) pairs per point
+            cov, mean, valid = mapgrid.query_all_voxel_cov(
+                grid, src_global, params.max_search_dist
+            )
+            valid = valid & src_valid[:, None]
+            n, k = valid.shape
+            src_flat = jnp.repeat(src_local, k, axis=0)
+            cov_flat = cov.reshape(n * k, 3, 3)
+            mean_flat = mean.reshape(n * k, 3)
+            valid_flat = valid.reshape(n * k)
+            radar_flat = (
+                jnp.repeat(radar_cov, k, axis=0) if radar_cov is not None else None
+            )
+        matched = jnp.sum(valid_flat)
+        RCR = jnp.einsum("ij,kjl,ml->kim", rot_inv, cov_flat, rot_inv)
+        if static.use_radar_cov:
+            RCR = RCR + radar_flat
+        maha = _inv3x3(RCR)
+        inv_pose = lie.transform_inverse(pose)
+        tgt_local = (
+            jnp.einsum("ij,kj->ki", inv_pose[:3, :3], mean_flat) + inv_pose[:3, 3]
+        )
+        r = tgt_local - src_flat
+        r2 = jnp.sum(r * r, axis=-1)
+        th = params.max_search_dist
+        w = th * th / (th + r2) ** 2
+        keep = valid_flat & (w >= 0.01)  # weight cutoff (cpp:199-201)
+        JTJ, JTr, _ = _accumulate_gn(
+            src_flat, mean_flat, maha, w, keep.astype(dtype), pose
+        )
+        fit_num = jnp.sum(jnp.where(keep, jnp.sqrt(r2), 0.0))
+
+    fitness = fit_num / jnp.maximum(matched, 1).astype(dtype)
+    return matched, JTJ, JTr, fitness
+
+
+# --------------------------------------------------------------------------- #
+# RunRegister (cpp:273-418)
+# --------------------------------------------------------------------------- #
+
+def run_register(
+    src_local,
+    src_valid,
+    grid: mapgrid.MapGrid,
+    initial_guess,
+    params: IcpParams,
+    static: IcpStatic,
+) -> IcpResult:
+    """Register a sensor-frame scan against the map from an initial pose.
+
+    Args:
+      src_local: [N,3] scan points in the sensor frame (padded).
+      src_valid: [N] validity mask for padding.
+      grid: device map.
+      initial_guess: [4,4] global sensor pose to start from.
+
+    Returns IcpResult; on failure (empty map handled by caller, overlap or
+    fitness gate) ``pose`` is the last composed pose like the reference.
+    """
+    dtype = src_local.dtype
+    pose0 = jnp.asarray(initial_guess, dtype=dtype)
+    total = jnp.maximum(jnp.sum(src_valid), 1).astype(dtype)
+
+    radar_cov = None
+    if static.use_radar_cov:
+        # Computed once from the initially-transformed cloud (cpp:302-305).
+        radar_cov = radar_point_cov(
+            lie.transform_points(pose0, src_local), params
+        )
+
+    def cond(carry):
+        pose, it, done, failed, fitness, local_cov, overlap = carry
+        return (it < static.max_iteration) & ~done & ~failed
+
+    def body(carry):
+        pose, it, done, failed, fitness, local_cov, overlap = carry
+        matched, JTJ, JTr, fit = _iteration(
+            pose, src_local, src_valid, grid, params, static, radar_cov
+        )
+        ratio = matched.astype(dtype) / total
+        overlap_ok = ratio >= params.min_overlap_ratio
+
+        x, reg = _solve_step(JTJ, JTr, params.lm_lambda)
+        x = jnp.where(overlap_ok, x, jnp.zeros_like(x))
+        step_tf = _step_transform(x)
+        pose_new = jnp.where(overlap_ok, pose @ step_tf, pose)
+
+        rot_norm = jnp.linalg.norm(lie.so3_log(step_tf[:3, :3]))
+        transform_norm = rot_norm + jnp.linalg.norm(x[0:3])
+        terminated = overlap_ok & (transform_norm < params.termination_threshold)
+
+        fitness_new = jnp.where(overlap_ok, fit, fitness)
+        if static.method == int(IcpMethod.GICP):
+            # Only the GICP solver exports (JTJ + lambda diag)^-1 (cpp:140-142).
+            local_cov_new = jnp.where(overlap_ok, jnp.linalg.inv(reg), local_cov)
+        else:
+            local_cov_new = local_cov
+        return (
+            pose_new,
+            it + 1,
+            terminated,
+            ~overlap_ok,
+            fitness_new,
+            local_cov_new,
+            ratio,
+        )
+
+    carry0 = (
+        pose0,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+        jnp.asarray(False),
+        jnp.asarray(0.0, dtype),
+        jnp.eye(6, dtype=dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    pose, it, done, failed, fitness, local_cov, overlap = jax.lax.while_loop(
+        cond, body, carry0
+    )
+    success = ~failed & (fitness <= params.max_fitness_score)
+    return IcpResult(
+        pose=pose,
+        success=success,
+        fitness=fitness,
+        local_cov=local_cov,
+        iterations=it,
+        overlap=overlap,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Misc utilities mirrored for API parity
+# --------------------------------------------------------------------------- #
+
+def calculate_velocity(transform, dt):
+    """Rigid transform over dt -> (linear, angular) velocity (reference:
+    CalculateVelocity, registration.hpp:167-184)."""
+    linear = transform[:3, 3] / dt
+    angular = lie.so3_log(transform[:3, :3]) / dt
+    return linear, angular
+
+
+def separate_points_z(points, valid, z):
+    """Split a masked point set by z (reference: SeperatePointsZ,
+    registration.hpp:150-165). Returns (up_mask, down_mask)."""
+    up = valid & (points[:, 2] > z)
+    down = valid & ~(points[:, 2] > z)
+    return up, down

@@ -1,0 +1,236 @@
+"""ICP registration tests: golden single steps vs the oracle + convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elimaloc_tpu.config import IcpMethod, PcmConfig
+from elimaloc_tpu.map import build_voxel_map, to_device
+from elimaloc_tpu.register import (
+    make_icp_params,
+    make_icp_static,
+    run_register,
+)
+from elimaloc_tpu.register.icp import _accumulate_gn, _solve_step, _step_transform
+
+import ref_numpy as ref
+
+RNG = np.random.default_rng(21)
+
+
+def make_world(n_map=6000, extent=30.0, seed=100):
+    """Structured synthetic world: ground + two walls (well-constrained ICP)."""
+    RNG = np.random.default_rng(seed)
+    g = np.c_[RNG.uniform(-extent, extent, (n_map, 2)), RNG.normal(0, 0.02, n_map)]
+    w1 = np.c_[
+        RNG.uniform(-extent, extent, n_map // 2),
+        np.full(n_map // 2, extent / 2) + RNG.normal(0, 0.02, n_map // 2),
+        RNG.uniform(0, 4, n_map // 2),
+    ]
+    w2 = np.c_[
+        np.full(n_map // 2, -extent / 3) + RNG.normal(0, 0.02, n_map // 2),
+        RNG.uniform(-extent, extent, n_map // 2),
+        RNG.uniform(0, 4, n_map // 2),
+    ]
+    return np.r_[g, w1, w2]
+
+
+def make_scan(map_pts, pose, n=1024, max_range=25.0, seed=101):
+    """Sample map points near the pose and express them in the sensor frame."""
+    RNG = np.random.default_rng(seed)
+    d = np.linalg.norm(map_pts[:, :2] - pose[:2, 3], axis=1)
+    near = map_pts[d < max_range]
+    sel = near[RNG.choice(len(near), n)]
+    R, t = pose[:3, :3], pose[:3, 3]
+    return (sel - t) @ R  # R^T (p - t)
+
+
+def pose_xyzyaw(x, y, z, yaw):
+    T = np.eye(4)
+    T[:3, :3] = ref.euler_to_rot([0, 0, yaw])
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+class TestGnStep:
+    def test_accumulate_matches_oracle_p2p(self):
+        n = 50
+        src_local = RNG.normal(size=(n, 3)) * 5
+        pose = pose_xyzyaw(1.0, -2.0, 0.3, 0.4)
+        tgt_global = (src_local @ pose[:3, :3].T + pose[:3, 3]) + RNG.normal(
+            0, 0.05, (n, 3)
+        )
+        th, lam = 5.0, 0.5
+
+        # Oracle needs the transformed source (its weight uses residuals only).
+        T_o, fit_o = ref.align_clouds_local_np(
+            tgt_global * 0 + 1,  # unused by the oracle path below
+            src_local,
+            tgt_global,
+            pose,
+            th,
+            lam,
+        )
+
+        maha = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        inv_pose = np.linalg.inv(pose)
+        r = (tgt_global @ inv_pose[:3, :3].T + inv_pose[:3, 3]) - src_local
+        r2 = np.sum(r * r, axis=1)
+        w = th**2 / (th + r2) ** 2
+        JTJ, JTr, _ = _accumulate_gn(
+            jnp.asarray(src_local),
+            jnp.asarray(tgt_global),
+            maha,
+            jnp.asarray(w),
+            jnp.ones(n),
+            jnp.asarray(pose),
+        )
+        x, _ = _solve_step(JTJ, JTr, lam)
+        T = np.asarray(_step_transform(x))
+        np.testing.assert_allclose(T, T_o, atol=1e-9)
+
+    def test_masked_rows_do_not_contribute(self):
+        n = 20
+        src = RNG.normal(size=(n, 3))
+        tgt = src + 0.1
+        pose = jnp.eye(4)
+        maha = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+        w = jnp.ones(n)
+        mask_full = jnp.ones(n)
+        mask_half = jnp.asarray(np.r_[np.ones(10), np.zeros(10)])
+        J1, r1, _ = _accumulate_gn(jnp.asarray(src), jnp.asarray(tgt), maha, w, mask_half, pose)
+        J2, r2, _ = _accumulate_gn(
+            jnp.asarray(src[:10]), jnp.asarray(tgt[:10]), maha[:10], w[:10],
+            mask_full[:10], pose,
+        )
+        np.testing.assert_allclose(np.asarray(J1), np.asarray(J2), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-12)
+
+
+def _run(map_pts, true_pose, init_pose, method, n_scan=1024, **cfg_kw):
+    cfg = PcmConfig(icp_method=method, **cfg_kw)
+    need_vox = method in (IcpMethod.VGICP, IcpMethod.AVGICP)
+    need_pt = method == IcpMethod.GICP
+    built = build_voxel_map(
+        map_pts, cfg.pcm_voxel_size, cfg.pcm_voxel_max_point,
+        compute_voxel_cov=need_vox, compute_point_cov=need_pt,
+        gicp_cov_search_dist=cfg.gicp_cov_search_dist, use_native=False,
+    )
+    grid = to_device(built, dtype=jnp.float64)
+    scan = make_scan(map_pts, true_pose, n=n_scan)
+    params = make_icp_params(cfg, dtype=jnp.float64)
+    static = make_icp_static(cfg)
+    res = jax.jit(run_register, static_argnums=5)(
+        jnp.asarray(scan),
+        jnp.ones(len(scan), bool),
+        grid,
+        jnp.asarray(init_pose),
+        params,
+        static,
+    )
+    return res, scan
+
+
+@pytest.mark.parametrize(
+    "method", [IcpMethod.P2P, IcpMethod.GICP, IcpMethod.VGICP, IcpMethod.AVGICP]
+)
+def test_recovers_perturbed_pose(method):
+    map_pts = make_world()
+    true_pose = pose_xyzyaw(3.0, 1.0, 0.0, 0.5)
+    init_pose = pose_xyzyaw(3.4, 0.7, 0.1, 0.55)  # ~0.5 m / ~3 deg off
+    # V/AVGICP fitness is the mean |residual| to voxel MEANS (cpp:207-210),
+    # which is ~0.5 m by construction for 1 m voxels on uniform synthetic
+    # data — relax the gate there (the gate itself is tested separately) and
+    # allow the voxel-mean attractor's accuracy floor.
+    voxelized = method in (IcpMethod.VGICP, IcpMethod.AVGICP)
+    kw = {"max_fitness_score": 2.0} if voxelized else {}
+    res, _ = _run(map_pts, true_pose, init_pose, method, **kw)
+    assert bool(res.success), f"{method}: fitness={float(res.fitness)}"
+    err_t = np.linalg.norm(np.asarray(res.pose)[:3, 3] - true_pose[:3, 3])
+    err_r = np.linalg.norm(
+        ref.so3_log(true_pose[:3, :3].T @ np.asarray(res.pose)[:3, :3])
+    )
+    # The voxelized limits match what the NumPy oracle loop converges to on
+    # this world (~0.19 m): the bias is the algorithm's, not the port's.
+    lim_t, lim_r = (0.25, 0.08) if voxelized else (0.08, 0.01)
+    assert err_t < lim_t, f"{method}: translation error {err_t}"
+    assert err_r < lim_r, f"{method}: rotation error {err_r}"
+
+
+def test_identity_when_already_aligned():
+    map_pts = make_world()
+    pose = pose_xyzyaw(0.0, 0.0, 0.0, 0.0)
+    res, _ = _run(map_pts, pose, pose, IcpMethod.P2P)
+    assert bool(res.success)
+    assert int(res.iterations) <= 3  # converges almost immediately
+    np.testing.assert_allclose(np.asarray(res.pose), pose, atol=0.05)
+
+
+def test_overlap_gate_fails_far_from_map():
+    map_pts = make_world(extent=10.0)
+    init = pose_xyzyaw(500.0, 500.0, 0.0, 0.0)  # nowhere near the map
+    scan = RNG.normal(size=(256, 3)) * 5
+    cfg = PcmConfig(icp_method=IcpMethod.P2P)
+    built = build_voxel_map(map_pts, 1.0, 30, use_native=False)
+    res = run_register(
+        jnp.asarray(scan),
+        jnp.ones(256, bool),
+        to_device(built, dtype=jnp.float64),
+        jnp.asarray(init),
+        make_icp_params(cfg, dtype=jnp.float64),
+        make_icp_static(cfg),
+    )
+    assert not bool(res.success)
+    assert int(res.iterations) == 1  # bailed on the first overlap check
+    np.testing.assert_allclose(np.asarray(res.pose), init)  # pose untouched
+
+
+def test_fitness_gate():
+    map_pts = make_world()
+    pose = pose_xyzyaw(0.0, 0.0, 0.0, 0.0)
+    # Absurdly strict fitness threshold -> success must flip off.
+    res, _ = _run(
+        map_pts, pose, pose, IcpMethod.P2P, max_fitness_score=1e-9
+    )
+    assert not bool(res.success)
+
+
+def test_gicp_exports_local_cov_others_identity():
+    map_pts = make_world()
+    true_pose = pose_xyzyaw(1.0, 1.0, 0.0, 0.1)
+    init = pose_xyzyaw(1.2, 0.9, 0.0, 0.12)
+    res_g, _ = _run(map_pts, true_pose, init, IcpMethod.GICP)
+    assert not np.allclose(np.asarray(res_g.local_cov), np.eye(6))
+    cov = np.asarray(res_g.local_cov)
+    assert np.linalg.eigvalsh(cov).min() > 0  # proper covariance
+    res_p, _ = _run(map_pts, true_pose, init, IcpMethod.P2P)
+    np.testing.assert_allclose(np.asarray(res_p.local_cov), np.eye(6))
+
+
+def test_padding_invariance():
+    """Extra padded (invalid) source rows must not change the result."""
+    map_pts = make_world()
+    true_pose = pose_xyzyaw(2.0, -1.0, 0.0, 0.3)
+    init = pose_xyzyaw(2.3, -1.2, 0.05, 0.33)
+    cfg = PcmConfig(icp_method=IcpMethod.P2P)
+    built = build_voxel_map(map_pts, 1.0, 30, use_native=False)
+    grid = to_device(built, dtype=jnp.float64)
+    scan = make_scan(map_pts, true_pose, n=512)
+    params = make_icp_params(cfg, dtype=jnp.float64)
+    static = make_icp_static(cfg)
+
+    res_a = run_register(
+        jnp.asarray(scan), jnp.ones(512, bool), grid, jnp.asarray(init),
+        params, static,
+    )
+    padded = np.r_[scan, np.full((128, 3), 1e6)]
+    mask = np.r_[np.ones(512, bool), np.zeros(128, bool)]
+    res_b = run_register(
+        jnp.asarray(padded), jnp.asarray(mask), grid, jnp.asarray(init),
+        params, static,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_a.pose), np.asarray(res_b.pose), atol=1e-9
+    )
+    assert float(res_a.fitness) == pytest.approx(float(res_b.fitness), abs=1e-12)
