@@ -4,6 +4,12 @@ from .builder import (  # noqa: F401
     find_ground_height as find_ground_height_host,
     voxel_downsample_host,
 )
+from .tiles import (  # noqa: F401
+    HostTileMap,
+    TileMap,
+    TileQueryBudget,
+    build_tile_map,
+)
 from .grid import (  # noqa: F401
     MapGrid,
     OFFSETS_7,

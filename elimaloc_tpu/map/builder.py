@@ -42,21 +42,42 @@ import numpy as np
 _P1, _P2, _P3 = 73856093, 19349669, 83492791
 
 
-def hash_coords(coords: np.ndarray, table_size: int) -> np.ndarray:
-    """Vectorized voxel-coordinate hash -> slot in [0, table_size).
+def _mix_coords(coords: np.ndarray, seed: int = 0x9E3779B1) -> np.ndarray:
+    """Sequentially-chained multiplicative mix + murmur3 fmix32 avalanche, in
+    wrapping uint32 arithmetic identical to the device side (grid._mix).
 
-    Computed in wrapping uint32 arithmetic so the host build and the device
-    lookup (grid._hash) land on identical slots. table_size must be a power
-    of two.
-    """
+    Note: the reference's 3-prime XOR-of-products hash (voxel_hash_map.hpp:
+    150-155) loses entropy on grid-structured coordinates (XOR of correlated
+    products collides for ~40% of coords in a city-sized block) — acceptable
+    for std::unordered_map buckets, fatal for our fingerprint verify. The
+    chained mix below is collision-free on such blocks."""
     c = coords.astype(np.int64).astype(np.uint32)
     with np.errstate(over="ignore"):
-        h = (
-            (c[..., 0] * np.uint32(_P1))
-            ^ (c[..., 1] * np.uint32(_P2))
-            ^ (c[..., 2] * np.uint32(_P3))
-        )
-    return (h & np.uint32(table_size - 1)).astype(np.int64)
+        h = np.uint32(seed) ^ (c[..., 0] * np.uint32(0x85EBCA6B))
+        h = (h ^ (h >> np.uint32(13))) * np.uint32(0xC2B2AE35)
+        h = h ^ (c[..., 1] * np.uint32(0x27D4EB2F))
+        h = (h ^ (h >> np.uint32(13))) * np.uint32(0x165667B1)
+        h = h ^ (c[..., 2] * np.uint32(0x9E3779B1))
+        h ^= h >> np.uint32(16)
+        h *= np.uint32(0x7FEB352D)
+        h ^= h >> np.uint32(15)
+        h *= np.uint32(0x846CA68B)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def hash_coords(coords: np.ndarray, table_size: int) -> np.ndarray:
+    """Voxel-coordinate hash -> slot in [0, table_size); power-of-two table."""
+    return (_mix_coords(coords) & np.uint32(table_size - 1)).astype(np.int64)
+
+
+def fingerprint_coords(coords: np.ndarray) -> np.ndarray:
+    """Secondary 32-bit fingerprint used to verify probe hits without
+    gathering the full 3-int coordinate row (a tiny-slice gather is the
+    slowest access pattern on TPU). Independent seed from the slot hash;
+    never 0, so 0 marks empty slots."""
+    fp = _mix_coords(coords, seed=0x51ED270B)
+    return np.where(fp == 0, np.uint32(1), fp)
 
 
 @dataclasses.dataclass
@@ -71,6 +92,7 @@ class BuiltMap:
     vox_mean: np.ndarray          # [V,3] f32
     vox_cov: np.ndarray           # [V,3,3] f32
     table: np.ndarray             # [T] int32, voxel row or -1
+    table_fp: np.ndarray          # [T] uint32 coordinate fingerprint (0=empty)
     table_size: int
     max_probe: int                # worst-case linear-probe length (>=1)
     point_cov: Optional[np.ndarray] = None       # [V,M,3,3] f32
@@ -161,7 +183,7 @@ def build_voxel_map(
                 vox_mean[i] = pts_block[i, : counts[i]].mean(axis=0)
 
     # --- Hash table with bounded probe length ---
-    table, table_size, max_probe = _build_table(
+    table, table_fp, table_size, max_probe = _build_table(
         vox_coords, table_load_factor, probe_limit
     )
 
@@ -174,6 +196,7 @@ def build_voxel_map(
         vox_mean=vox_mean.astype(np.float32),
         vox_cov=vox_cov.astype(np.float32),
         table=table,
+        table_fp=table_fp,
         table_size=table_size,
         max_probe=max_probe,
     )
@@ -186,6 +209,14 @@ def build_voxel_map(
     return built
 
 
+def _pack_keys(keys: np.ndarray) -> np.ndarray:
+    """[N,3] int voxel coords -> unique int64 key (21 bits/axis, offset)."""
+    k = keys.astype(np.int64) + (1 << 20)
+    if (k < 0).any() or (k >= (1 << 21)).any():
+        raise ValueError("voxel coordinates exceed +-2^20")
+    return (k[:, 0] << 42) | (k[:, 1] << 21) | k[:, 2]
+
+
 def _insert_points_numpy(points, voxel_size, max_pts):
     """Insertion with the reference's min-spacing rule (cpp:270-285):
     a point enters a voxel only if the voxel has < max_pts points and no
@@ -194,8 +225,10 @@ def _insert_points_numpy(points, voxel_size, max_pts):
     res2 = map_resolution * map_resolution
 
     keys = np.floor(points / voxel_size).astype(np.int64)
-    # Group points by voxel, preserving input order within groups.
-    packed = (keys[:, 0] << 42) ^ (keys[:, 1] << 21) ^ keys[:, 2]
+    # Group points by voxel, preserving input order within groups. Offset to
+    # non-negative before packing (disjoint 21-bit fields; XOR-packing would
+    # corrupt fields via sign extension for negative coords).
+    packed = _pack_keys(keys)
     order = np.argsort(packed, kind="stable")
     sorted_packed = packed[order]
     group_starts = np.flatnonzero(
@@ -240,8 +273,10 @@ def _build_table(vox_coords, load_factor, probe_limit):
     table_size = 1
     while table_size < v / load_factor:
         table_size <<= 1
+    fps = fingerprint_coords(vox_coords)
     while True:
         table = np.full(table_size, -1, dtype=np.int32)
+        table_fp = np.zeros(table_size, dtype=np.uint32)
         max_probe = 1
         ok = True
         h0 = hash_coords(vox_coords, table_size)
@@ -251,13 +286,14 @@ def _build_table(vox_coords, load_factor, probe_limit):
                 slot = (h + k) % table_size
                 if table[slot] < 0:
                     table[slot] = i
+                    table_fp[slot] = fps[i]
                     max_probe = max(max_probe, k + 1)
                     break
             else:
                 ok = False
                 break
         if ok:
-            return table, table_size, max_probe
+            return table, table_fp, table_size, max_probe
         table_size <<= 1  # too clustered: grow and retry
 
 
@@ -321,6 +357,6 @@ def voxel_downsample_host(points: np.ndarray, voxel_size: float) -> np.ndarray:
     """One point per voxel, first-come (reference: VoxelDownsample,
     voxel_hash_map.hpp:260-283). Host-side variant for init flows."""
     keys = np.floor(np.asarray(points, dtype=np.float64) / voxel_size).astype(np.int64)
-    packed = (keys[:, 0] << 42) ^ (keys[:, 1] << 21) ^ keys[:, 2]
+    packed = _pack_keys(keys)
     _, first = np.unique(packed, return_index=True)
     return np.asarray(points)[np.sort(first)]

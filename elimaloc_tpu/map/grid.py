@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .builder import BuiltMap, _P1, _P2, _P3
+from .builder import BuiltMap
 
 _SENTINEL_COORD = np.int32(2**30)
 
@@ -44,7 +44,10 @@ class MapGrid:
     """Packed map tensors. Row V (the last) of every voxel-indexed array is a
     sentinel: coords that never match, counts 0, +inf geometry."""
 
-    table: jnp.ndarray            # [T] int32: voxel row or -1
+    table: jnp.ndarray            # [T+P] int32: voxel row or -1 (P-extended
+                                  #   with the wrapped head so probe windows
+                                  #   never wrap)
+    table_fp: jnp.ndarray         # [T+P] uint32 coordinate fingerprint
     vox_coords: jnp.ndarray       # [V+1,3] int32
     points: jnp.ndarray           # [V+1,M,3] f32, padded +inf
     counts: jnp.ndarray           # [V+1] int32
@@ -99,8 +102,10 @@ def to_device(built: BuiltMap, dtype=jnp.float32) -> MapGrid:
             ),
             dtype=dtype,
         )
+    p = built.max_probe
     return MapGrid(
-        table=jnp.asarray(built.table),
+        table=jnp.asarray(np.concatenate([built.table, built.table[:p]])),
+        table_fp=jnp.asarray(np.concatenate([built.table_fp, built.table_fp[:p]])),
         vox_coords=jnp.asarray(vox_coords),
         points=jnp.asarray(points, dtype=dtype),
         counts=jnp.asarray(counts),
@@ -119,40 +124,58 @@ def point_to_voxel(points, voxel_size):
     return jnp.floor(points / voxel_size).astype(jnp.int32)
 
 
-def _hash(coords, table_size):
+def _mix(coords, seed=0x9E3779B1):
+    """Chained uint32 mix + fmix32 — identical to builder._mix_coords."""
     c = coords.astype(jnp.uint32)
-    h = (c[..., 0] * jnp.uint32(_P1)) ^ (c[..., 1] * jnp.uint32(_P2)) ^ (
-        c[..., 2] * jnp.uint32(_P3)
-    )
-    return (h & jnp.uint32(table_size - 1)).astype(jnp.int32)
+    u = jnp.uint32
+    h = u(seed) ^ (c[..., 0] * u(0x85EBCA6B))
+    h = (h ^ (h >> u(13))) * u(0xC2B2AE35)
+    h = h ^ (c[..., 1] * u(0x27D4EB2F))
+    h = (h ^ (h >> u(13))) * u(0x165667B1)
+    h = h ^ (c[..., 2] * u(0x9E3779B1))
+    h = h ^ (h >> u(16))
+    h = h * u(0x7FEB352D)
+    h = h ^ (h >> u(15))
+    h = h * u(0x846CA68B)
+    h = h ^ (h >> u(16))
+    return h
+
+
+def _hash(coords, table_size):
+    return (_mix(coords) & jnp.uint32(table_size - 1)).astype(jnp.int32)
+
+
+def _fingerprint(coords):
+    fp = _mix(coords, seed=0x51ED270B)
+    return jnp.where(fp == jnp.uint32(0), jnp.uint32(1), fp)
 
 
 def lookup(grid: MapGrid, coords) -> jnp.ndarray:
     """Voxel coords [...,3] -> voxel row index; misses map to the sentinel row.
 
-    Linear probing, unrolled to the build-time worst-case probe length: each
-    step is two gathers (table slot, then coordinate verify) over the whole
-    query batch at once.
+    One windowed gather of the whole probe chain (the table is extended by
+    max_probe entries so windows never wrap), then a branch-free resolve:
+    a slot hits when its 32-bit coordinate fingerprint matches and no empty
+    slot precedes it in the chain (std::unordered_map find semantics). The
+    fingerprint replaces the reference-style full-coordinate verify — a
+    3-element gather per probe is the slowest access pattern on TPU; the
+    residual false-hit probability is ~max_probe * 2^-32 per query.
     """
     sent = grid.sentinel
+    p = grid.max_probe
     h = _hash(coords, grid.table_size)
-    result = jnp.full(h.shape, sent, dtype=jnp.int32)
-    done = jnp.zeros(h.shape, dtype=bool)
-    for k in range(grid.max_probe):
-        slot = (h + k) & (grid.table_size - 1)
-        row = grid.table[slot]
-        empty = row < 0
-        row_safe = jnp.where(empty, sent, row)
-        match = jnp.all(grid.vox_coords[row_safe] == coords, axis=-1) & ~empty
-        result = jnp.where(~done & match, row_safe, result)
-        done = done | match | empty
-    return result
-
-
-# Hash collisions between *distinct* coords hashing to the same chain are
-# resolved by the coordinate verify above, matching std::unordered_map
-# semantics; the reference's 20-bit masked hash (hpp:150-155) has silent
-# bucket sharing instead, which its README acknowledges as approximate.
+    fp = _fingerprint(coords)
+    # Window gathers: [..., P] contiguous slots in two sliced gathers.
+    idx = h[..., None] + jnp.arange(p, dtype=jnp.int32)
+    rows = grid.table[idx]
+    fps = grid.table_fp[idx]
+    empty = rows < 0
+    empty_before = jnp.cumsum(empty, axis=-1) - empty.astype(jnp.int32) > 0
+    hit = (fps == fp[..., None]) & ~empty & ~empty_before
+    any_hit = jnp.any(hit, axis=-1)
+    first = jnp.argmax(hit, axis=-1)
+    row = jnp.take_along_axis(rows, first[..., None], axis=-1)[..., 0]
+    return jnp.where(any_hit, row, sent)
 
 
 def query_nearest_point(grid: MapGrid, queries, max_dist) -> Tuple[jnp.ndarray, ...]:

@@ -14,7 +14,10 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST  # TPU f32 matmul defaults to bf16 operands
 
 _EPS_THETA = 1e-5  # small-angle guard, same threshold as the reference
 
@@ -343,7 +346,10 @@ def transform_points(tf, pts):
     """Apply 4x4 transform(s) to [..., N, 3] points."""
     rot = tf[..., :3, :3]
     trans = tf[..., :3, 3]
-    return jnp.einsum("...ij,...nj->...ni", rot, pts) + trans[..., None, :]
+    return (
+        jnp.einsum("...ij,...nj->...ni", rot, pts, precision=_HI)
+        + trans[..., None, :]
+    )
 
 
 def interpolate_tf_with_time(tf_between, dt_scan, dt_trans):

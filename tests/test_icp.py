@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 
 from elimaloc_tpu.config import IcpMethod, PcmConfig
-from elimaloc_tpu.map import build_voxel_map, to_device
+from elimaloc_tpu.map import TileQueryBudget, build_tile_map, build_voxel_map, to_device
 from elimaloc_tpu.register import (
     make_icp_params,
     make_icp_static,
@@ -108,7 +108,8 @@ class TestGnStep:
         np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-12)
 
 
-def _run(map_pts, true_pose, init_pose, method, n_scan=1024, **cfg_kw):
+def _run(map_pts, true_pose, init_pose, method, n_scan=1024, backend="hash",
+         **cfg_kw):
     cfg = PcmConfig(icp_method=method, **cfg_kw)
     need_vox = method in (IcpMethod.VGICP, IcpMethod.AVGICP)
     need_pt = method == IcpMethod.GICP
@@ -117,10 +118,15 @@ def _run(map_pts, true_pose, init_pose, method, n_scan=1024, **cfg_kw):
         compute_voxel_cov=need_vox, compute_point_cov=need_pt,
         gicp_cov_search_dist=cfg.gicp_cov_search_dist, use_native=False,
     )
-    grid = to_device(built, dtype=jnp.float64)
+    if backend == "tile":
+        grid = build_tile_map(built, tile_voxels=4).to_device(dtype=jnp.float64)
+    else:
+        grid = to_device(built, dtype=jnp.float64)
     scan = make_scan(map_pts, true_pose, n=n_scan)
     params = make_icp_params(cfg, dtype=jnp.float64)
-    static = make_icp_static(cfg)
+    static = make_icp_static(
+        cfg, backend=backend, tile_budget=TileQueryBudget(qb=32, max_slots=1024)
+    )
     res = jax.jit(run_register, static_argnums=5)(
         jnp.asarray(scan),
         jnp.ones(len(scan), bool),
@@ -132,10 +138,11 @@ def _run(map_pts, true_pose, init_pose, method, n_scan=1024, **cfg_kw):
     return res, scan
 
 
+@pytest.mark.parametrize("backend", ["hash", "tile"])
 @pytest.mark.parametrize(
     "method", [IcpMethod.P2P, IcpMethod.GICP, IcpMethod.VGICP, IcpMethod.AVGICP]
 )
-def test_recovers_perturbed_pose(method):
+def test_recovers_perturbed_pose(method, backend):
     map_pts = make_world()
     true_pose = pose_xyzyaw(3.0, 1.0, 0.0, 0.5)
     init_pose = pose_xyzyaw(3.4, 0.7, 0.1, 0.55)  # ~0.5 m / ~3 deg off
@@ -145,7 +152,7 @@ def test_recovers_perturbed_pose(method):
     # allow the voxel-mean attractor's accuracy floor.
     voxelized = method in (IcpMethod.VGICP, IcpMethod.AVGICP)
     kw = {"max_fitness_score": 2.0} if voxelized else {}
-    res, _ = _run(map_pts, true_pose, init_pose, method, **kw)
+    res, _ = _run(map_pts, true_pose, init_pose, method, backend=backend, **kw)
     assert bool(res.success), f"{method}: fitness={float(res.fitness)}"
     err_t = np.linalg.norm(np.asarray(res.pose)[:3, 3] - true_pose[:3, 3])
     err_r = np.linalg.norm(
@@ -179,7 +186,7 @@ def test_overlap_gate_fails_far_from_map():
         to_device(built, dtype=jnp.float64),
         jnp.asarray(init),
         make_icp_params(cfg, dtype=jnp.float64),
-        make_icp_static(cfg),
+        make_icp_static(cfg, backend="hash"),
     )
     assert not bool(res.success)
     assert int(res.iterations) == 1  # bailed on the first overlap check
@@ -218,7 +225,7 @@ def test_padding_invariance():
     grid = to_device(built, dtype=jnp.float64)
     scan = make_scan(map_pts, true_pose, n=512)
     params = make_icp_params(cfg, dtype=jnp.float64)
-    static = make_icp_static(cfg)
+    static = make_icp_static(cfg, backend="hash")
 
     res_a = run_register(
         jnp.asarray(scan), jnp.ones(512, bool), grid, jnp.asarray(init),
