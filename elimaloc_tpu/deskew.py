@@ -1,0 +1,233 @@
+"""LiDAR motion compensation (deskewing) — LIO-SAM-style, vectorized.
+
+Re-implements the reference's deskew stage (reference: src/app/localization/
+pcm_matching/src/pcm_matching.cpp:467-824):
+
+  * scan-time normalization incl. the ``lidar_scan_time_end`` mode where point
+    times are negative offsets from the last point (cpp:477-486);
+  * ImuDeskewInfo (cpp:533-585): integrate raw gyro into per-axis rotation
+    lookup arrays over the scan span — here one masked ``cumsum`` over a
+    fixed-size IMU window;
+  * OdomDeskewInfo (cpp:587-729): scan-start -> scan-end translation increment
+    from the EKF odometry ring, extrapolating past the last sample by rotated
+    local velocity and Euler-rate integration;
+  * DeskewPoint (cpp:780-824): per-point rotation (linear interpolation into
+    the IMU arrays, FindRotation cpp:731-762) and translation (linear time
+    ratio, FindPosition cpp:764-778) to the scan-END frame — one vmapped
+    rigid transform over the padded point tensor.
+
+The reference's deques become fixed rings with validity masks; all early
+returns become ``available`` booleans.
+
+Known reference bug, OFF by default: DeskewPoint's z translation uses the
+interpolated z *rotation* instead of the z position increment
+(``f_pos_z_from_end = f_rot_z_cur - f_odom_incre_z_``, cpp:804). Pass
+``bug_compat_z=True`` to reproduce it for parity runs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .ops import lie
+from .ops.frames import local_to_global_velocity
+
+
+@struct.dataclass
+class DeskewInfo:
+    """Precomputed per-scan deskew state (the reference's member arrays)."""
+
+    imu_time: jnp.ndarray      # [M] sample times (ring order)
+    imu_rot: jnp.ndarray       # [M,3] integrated rotation at each sample
+    imu_included: jnp.ndarray  # [M] bool: inside the scan window
+    first_idx: jnp.ndarray     # index of the first included sample
+    last_idx: jnp.ndarray      # index of the last included sample
+    odom_incre: jnp.ndarray    # [3] scan-start->end translation (start frame)
+    scan_cur: jnp.ndarray      # scan start time
+    scan_end: jnp.ndarray      # scan end time
+    imu_available: jnp.ndarray  # bool
+    odom_available: jnp.ndarray  # bool
+
+
+def normalize_scan_times(times, valid, header_stamp, scan_time_end: bool):
+    """Per-point times + header stamp -> (rel_times from scan start,
+    scan_cur, scan_end). Reference: DeskewPointCloud cpp:473-486."""
+    times = jnp.asarray(times)
+    n = times.shape[0]
+    idx = jnp.arange(n)
+    first = jnp.argmax(valid)
+    last = n - 1 - jnp.argmax(valid[::-1])
+    front_t = times[first]
+    back_t = times[last]
+    if scan_time_end:
+        scan_end = header_stamp
+        scan_cur = scan_end + front_t  # front is negative
+        rel = times - front_t
+    else:
+        scan_cur = header_stamp
+        scan_end = header_stamp + back_t
+        rel = times
+    del idx
+    return rel, scan_cur, scan_end
+
+
+def imu_deskew_info(imu_time, imu_gyro, imu_valid, scan_cur, scan_end):
+    """Integrate gyro over the scan window (ImuDeskewInfo, cpp:533-585).
+
+    The ring must be time-ordered; included samples are those within
+    [scan_cur - 0.01, scan_end + 0.01] (the reference's prune + break
+    bounds). Returns (imu_rot [M,3], included [M], first_idx, last_idx,
+    available)."""
+    inc = imu_valid & (imu_time >= scan_cur - 0.01) & (imu_time <= scan_end + 0.01)
+    m = imu_time.shape[0]
+    idx = jnp.arange(m)
+    first = jnp.argmax(inc)  # first included (0 if none; gated by available)
+    last = m - 1 - jnp.argmax(inc[::-1])
+    prev_inc = jnp.concatenate([jnp.zeros(1, dtype=bool), inc[:-1]])
+    dt = jnp.where(
+        inc & prev_inc,
+        imu_time - jnp.concatenate([imu_time[:1], imu_time[:-1]]),
+        0.0,
+    )
+    rot = jnp.cumsum(imu_gyro * dt[:, None], axis=0)
+    # Anchor: rotation is zero at the first included sample.
+    rot = rot - rot[first]
+    rot = jnp.where(inc[:, None], rot, 0.0)
+    available = jnp.sum(inc) >= 2
+    del idx
+    return rot, inc, first, last, available
+
+
+def odom_deskew_info(ring_time, ring_pos, ring_rpy, ring_vel_local,
+                     ring_gyro, ring_valid, scan_cur, scan_end):
+    """Scan-start -> scan-end translation increment from the odometry ring
+    (OdomDeskewInfo, cpp:587-729). Returns (incre [3], available)."""
+    dtype = ring_pos.dtype
+    fresh = ring_valid & (ring_time >= scan_cur - 0.1)
+    n = ring_time.shape[0]
+    have_any = jnp.any(fresh)
+    # front of the pruned deque must not be after scan_cur (cpp:604-607)
+    first_fresh = jnp.argmax(fresh)
+    front_ok = have_any & (ring_time[first_fresh] <= scan_cur)
+
+    # start odom: first fresh entry with t >= scan_cur; if none, the last
+    # fresh entry (the reference's loop leaves the final element).
+    ge_cur = fresh & (ring_time >= scan_cur)
+    last_fresh = n - 1 - jnp.argmax(fresh[::-1])
+    start_idx = jnp.where(jnp.any(ge_cur), jnp.argmax(ge_cur), last_fresh)
+
+    # end odom: first entry with t >= scan_end, else velocity extrapolation
+    ge_end = fresh & (ring_time >= scan_end)
+    has_end = jnp.any(ge_end)
+    end_idx = jnp.where(has_end, jnp.argmax(ge_end), last_fresh)
+
+    def tf_of(i):
+        return lie.make_transform(lie.euler_to_rot(ring_rpy[i]), ring_pos[i])
+
+    tf_start = tf_of(start_idx)
+
+    # Extrapolated end pose (cpp:648-708)
+    lt = ring_time[last_fresh]
+    dt_ex = scan_end - lt
+    rpy_l = ring_rpy[last_fresh]
+    v_glob = local_to_global_velocity(ring_vel_local[last_fresh], rpy_l)
+    pos_ex = ring_pos[last_fresh] + v_glob * dt_ex
+    rpy_ex = rpy_l + ring_gyro[last_fresh] * dt_ex  # Euler-rate integration
+    tf_end_ex = lie.make_transform(lie.euler_to_rot(rpy_ex), pos_ex)
+    tf_end_meas = tf_of(end_idx)
+    tf_end = jnp.where(has_end, tf_end_meas, tf_end_ex)
+    t_end = jnp.where(has_end, ring_time[end_idx], scan_end)
+
+    between = lie.transform_inverse(tf_start) @ tf_end
+    dt_scan = scan_end - scan_cur
+    dt_trans = t_end - ring_time[start_idx]
+    interp = lie.interpolate_tf_with_time(between, dt_scan, dt_trans)
+    incre = interp[:3, 3].astype(dtype)
+    return jnp.where(front_ok, incre, jnp.zeros(3, dtype)), front_ok
+
+
+def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
+                     ring_rpy, ring_vel_local, ring_gyro, ring_valid,
+                     scan_cur, scan_end) -> DeskewInfo:
+    rot, inc, first, last, imu_ok = imu_deskew_info(
+        imu_time, imu_gyro, imu_valid, scan_cur, scan_end
+    )
+    incre, odom_ok = odom_deskew_info(
+        ring_time, ring_pos, ring_rpy, ring_vel_local, ring_gyro, ring_valid,
+        scan_cur, scan_end,
+    )
+    return DeskewInfo(
+        imu_time=imu_time,
+        imu_rot=rot,
+        imu_included=inc,
+        first_idx=first,
+        last_idx=last,
+        odom_incre=incre,
+        scan_cur=scan_cur,
+        scan_end=scan_end,
+        imu_available=imu_ok,
+        odom_available=odom_ok,
+    )
+
+
+def _find_rotation(info: DeskewInfo, point_time):
+    """FindRotation (cpp:731-762): linear interpolation into the integrated
+    rotation arrays, with the reference's boundary conventions."""
+    # Order non-included samples out of the search window.
+    t_adj = jnp.where(
+        info.imu_included,
+        info.imu_time,
+        jnp.where(info.imu_time < info.scan_cur, -jnp.inf, jnp.inf),
+    )
+    front = jnp.searchsorted(t_adj, point_time, side="right")
+    front = jnp.clip(front, info.first_idx, info.last_idx)
+    beyond = point_time > info.imu_time[front]
+    at_first = front == info.first_idx
+    back = jnp.maximum(front - 1, info.first_idx)
+    tf_, tb = info.imu_time[front], info.imu_time[back]
+    denom = jnp.where(tf_ == tb, 1.0, tf_ - tb)
+    ratio_front = (point_time - tb) / denom
+    interp = (
+        info.imu_rot[front] * ratio_front + info.imu_rot[back] * (1.0 - ratio_front)
+    )
+    return jnp.where(beyond | at_first, info.imu_rot[front], interp)
+
+
+def deskew_points(points, rel_times, valid, info: DeskewInfo, *,
+                  run_deskew: bool = True, bug_compat_z: bool = False):
+    """Transform every point to the scan-end frame (DeskewPoint, cpp:780-824).
+
+    Returns (points' [N,3], ok): when deskew is disabled or IMU/odom info is
+    unavailable the input passes through untouched (cpp:494-525 behavior: the
+    whole scan is rejected upstream when info is missing; here we surface
+    ``ok`` and pass points through so callers can gate)."""
+    if not run_deskew:
+        return points, info.imu_available & info.odom_available
+
+    rot_end = info.imu_rot[info.last_idx]
+    point_time = info.scan_cur + rel_times
+
+    rot_cur = jax.vmap(lambda t: _find_rotation(info, t))(point_time)
+
+    span = info.scan_end - info.scan_cur
+    ratio = rel_times / jnp.where(span == 0, 1.0, span)
+    pos_cur = ratio[:, None] * info.odom_incre[None, :]
+
+    rot_from_end = rot_cur - rot_end[None, :]
+    pos_from_end = pos_cur - info.odom_incre[None, :]
+    if bug_compat_z:
+        # cpp:804: z uses the interpolated z ROTATION minus the z increment.
+        pos_from_end = pos_from_end.at[:, 2].set(
+            rot_cur[:, 2] - info.odom_incre[2]
+        )
+
+    rot_m = lie.euler_to_rot(rot_from_end)           # [N,3,3]
+    moved = (
+        jnp.einsum("nij,nj->ni", rot_m, points, precision=jax.lax.Precision.HIGHEST)
+        + pos_from_end
+    )
+    ok = info.imu_available & info.odom_available
+    out = jnp.where((valid & ok)[:, None], moved, points)
+    return out, ok

@@ -1,0 +1,627 @@
+"""The localization runtime: both reference nodes fused into jitted steps.
+
+The reference runs two ROS processes exchanging topics (SURVEY.md §2 C12):
+``ekf_localization`` (IMU/GNSS/CAN fusion at 100 Hz) and ``pcm_matching``
+(deskew + scan-to-map ICP per LiDAR frame), closed through
+/app/loc/ekf_pose_odom and /app/loc/pcm_odom. Here the topic graph becomes
+explicit dataflow: one :class:`PipelineState` pytree (EKF state + ego/IMU
+rings) threaded through four pure event steps —
+
+  imu_step   = CallbackImu + RunPredictionImu + PublishInThread
+               (ekf_localization.cpp:139-145, 397-424) and the PCM node's
+               IMU/odom intake (pcm_matching.cpp:326-354);
+  scan_step  = CallbackPointCloud end-to-end (pcm_matching.cpp:198-324):
+               range gate -> deskew -> pose sync -> voxel downsample -> ICP ->
+               covariance shaping (PublishPcmOdom cpp:1047-1101) -> latency
+               compensation (GnssTimeCompensation) -> EKF pose update;
+  gps_step   = CallbackNavsatFix (ekf_localization.cpp:92-125);
+  can_step   = CallbackCAN (cpp:127-137).
+
+Asynchronous callback ordering and try_lock drop/priority behavior are
+replaced by deterministic event-time replay (SURVEY.md §5.8). Two drive
+modes: a host event loop (`LocalizationPipeline.run`) for arbitrary logs, and
+a fully-fused `replay_fused` that lax.scans the whole log in one compiled
+program (fixed event rates), used for throughput benchmarking.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .. import deskew as deskew_mod
+from ..config import ElimalocConfig, GnssSource, IcpMethod
+from ..ekf import (
+    CanMeas,
+    EkfFlags,
+    EkfParams,
+    EkfState,
+    GnssMeas,
+    ImuMeas,
+    ego_state,
+    init_state,
+    make_params,
+    predict_imu,
+    update_can,
+    update_gnss,
+)
+from ..map import builder as map_builder
+from ..map import tiles as map_tiles
+from ..map import grid as map_grid
+from ..map.grid import voxel_downsample
+from ..ops import lie
+from ..ops.frames import imu_to_ego
+from ..register import IcpStatic, make_icp_params, make_icp_static, run_register
+from ..register.icp import IcpParams
+from . import rings
+from .log import ReplayLog
+
+
+@struct.dataclass
+class PipelineState:
+    ekf: EkfState
+    ego_ring: rings.EgoRing
+    imu_ring: rings.ImuRing
+
+
+@struct.dataclass
+class PipelineParams:
+    """Dynamic parameters shared by all steps."""
+
+    ekf: EkfParams
+    icp: IcpParams
+    tf_ego_to_lidar: jnp.ndarray      # [4,4]
+    tf_lidar_to_ego: jnp.ndarray      # [4,4]
+    ego_to_imu_rot: jnp.ndarray       # [3,3]
+    ego_to_imu_trans: jnp.ndarray     # [3]
+    lidar_time_delay: jnp.ndarray
+    input_max_dist: jnp.ndarray
+    input_voxel_ds: jnp.ndarray
+    gnss_uncertainty_max: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineStatic:
+    """Compile-time switches shared by all steps."""
+
+    ekf_flags: EkfFlags
+    icp_static: IcpStatic
+    run_deskew: bool = True
+    scan_time_end: bool = True
+    bug_compat_deskew_z: bool = False
+    ds_points: int = 8192
+    use_gps: bool = False
+    use_can: bool = False
+    use_pcm: bool = True
+
+
+def make_pipeline_params(cfg: ElimalocConfig, dtype=jnp.float32) -> PipelineParams:
+    d2r = np.pi / 180.0
+    r_lidar = np.asarray(
+        lie.euler_to_rot(jnp.asarray(cfg.calib.ego_to_lidar_rot_deg) * d2r)
+    )
+    tf = np.eye(4)
+    tf[:3, :3] = r_lidar
+    tf[:3, 3] = cfg.calib.ego_to_lidar_trans
+    r_imu = np.asarray(
+        lie.euler_to_rot(jnp.asarray(cfg.calib.ego_to_imu_rot_deg) * d2r)
+    )
+    f = lambda v: jnp.asarray(v, dtype=dtype)
+    return PipelineParams(
+        ekf=make_params(cfg.ekf, dtype=dtype),
+        icp=make_icp_params(cfg.pcm, dtype=dtype),
+        tf_ego_to_lidar=f(tf),
+        tf_lidar_to_ego=f(np.linalg.inv(tf)),
+        ego_to_imu_rot=f(r_imu),
+        ego_to_imu_trans=f(cfg.calib.ego_to_imu_trans),
+        lidar_time_delay=f(cfg.pcm.lidar_time_delay),
+        input_max_dist=f(cfg.pcm.input_max_dist),
+        input_voxel_ds=f(cfg.pcm.input_voxel_ds_m),
+        gnss_uncertainty_max=f(cfg.ekf.gnss_uncertainty_max_m),
+    )
+
+
+def make_pipeline_static(cfg: ElimalocConfig, backend: str = "tile",
+                         tile_budget=None, ds_points: int = 8192,
+                         bug_compat_deskew_z: bool = False) -> PipelineStatic:
+    return PipelineStatic(
+        ekf_flags=EkfFlags.from_config(cfg.ekf),
+        icp_static=make_icp_static(cfg.pcm, backend=backend,
+                                   tile_budget=tile_budget),
+        run_deskew=cfg.pcm.run_deskew,
+        scan_time_end=cfg.pcm.lidar_scan_time_end,
+        bug_compat_deskew_z=bug_compat_deskew_z,
+        ds_points=ds_points,
+        use_gps=cfg.ekf.use_gps,
+        use_can=cfg.ekf.use_can,
+        use_pcm=cfg.ekf.use_pcm_matching,
+    )
+
+
+def _select_state(pred, a: PipelineState, b: PipelineState) -> PipelineState:
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def _push_ego(state: PipelineState) -> PipelineState:
+    es = ego_state(state.ekf)
+    ring = rings.push_ego(
+        state.ego_ring, es["timestamp"], es["pos"], es["rpy"],
+        es["vel_local"], es["gyro"],
+    )
+    return state.replace(ego_ring=ring)
+
+
+# --------------------------------------------------------------------------- #
+# Event steps
+# --------------------------------------------------------------------------- #
+
+def imu_step(state: PipelineState, t, acc_raw, gyro_raw,
+             pp: PipelineParams, ps: PipelineStatic) -> PipelineState:
+    """IMU sample -> EKF prediction -> published state into the rings."""
+    acc, gyro = imu_to_ego(acc_raw, gyro_raw, pp.ego_to_imu_rot,
+                           pp.ego_to_imu_trans)
+    meas = ImuMeas(timestamp=t, acc=acc, gyro=gyro)
+    ekf = predict_imu(state.ekf, meas, pp.ekf, ps.ekf_flags)
+    state = state.replace(ekf=ekf)
+    state = _push_ego(state)
+    # PCM's IMU intake rotates but does not lever-arm compensate (cpp:328).
+    gyro_pcm = pp.ego_to_imu_rot @ gyro_raw
+    acc_pcm = pp.ego_to_imu_rot @ acc_raw
+    state = state.replace(
+        imu_ring=rings.push_imu(state.imu_ring, t, gyro_pcm, acc_pcm)
+    )
+    return state
+
+
+def gps_step(state: PipelineState, t, pos, cov_diag,
+             pp: PipelineParams, ps: PipelineStatic) -> PipelineState:
+    """NavSatFix update (position-only 3-DOF path inside update_gnss)."""
+    if not ps.use_gps:
+        return state
+    # Reference quirk: the NavSatFix covariance field is squared again
+    # (ekf_localization.cpp:104-106).
+    var = cov_diag * cov_diag
+    ok = (var[0] <= pp.gnss_uncertainty_max) & (var[1] <= pp.gnss_uncertainty_max)
+    meas = GnssMeas(
+        timestamp=t,
+        source=jnp.asarray(int(GnssSource.NAVSATFIX)),
+        pos=pos,
+        rot=lie.quat_identity(pos.dtype),
+        pos_cov=jnp.diag(var),
+        rot_cov=jnp.zeros((3, 3), pos.dtype),
+    )
+    ekf = update_gnss(state.ekf, meas, pp.ekf, ps.ekf_flags)
+    return _select_state(ok, state.replace(ekf=ekf), state)
+
+
+def can_step(state: PipelineState, t, vel_x, yaw_rate,
+             pp: PipelineParams, ps: PipelineStatic) -> PipelineState:
+    if not ps.use_can:
+        return state
+    z = jnp.zeros((), vel_x.dtype)
+    meas = CanMeas(
+        timestamp=t,
+        vel=jnp.stack([vel_x, z, z]),
+        gyro=jnp.stack([z, z, yaw_rate]),
+    )
+    return state.replace(
+        ekf=update_can(state.ekf, meas, pp.ekf, ps.ekf_flags)
+    )
+
+
+def shape_icp_covariance(rot_ego, local_cov, fitness):
+    """ICP (JTJ+λI)^-1 -> measurement covariance (PublishPcmOdom,
+    pcm_matching.cpp:1073-1098 + NormalizeCovariance hpp:251-275).
+
+    Note: the reference also computes diagonal-normalized *vectors*
+    (NormalizeDiagonalCovariance) but never uses them; only the full-matrix
+    normalization reaches the published covariance."""
+    std = jnp.maximum(fitness, 0.25)
+    angle_std = std * jnp.pi / 180.0
+
+    def normalize(cov):
+        diag = jnp.diagonal(cov)
+        min_diag = jnp.min(diag)
+        scale_up = min_diag <= 1e-9
+        cov2 = jnp.where(scale_up, cov * 1e9, cov)
+        min2 = jnp.maximum(jnp.min(jnp.diagonal(cov2)), 1e-9)
+        return jnp.minimum(cov2 / min2, 5.0)
+
+    t_cov = rot_ego @ local_cov[:3, :3] @ rot_ego.T
+    r_cov = local_cov[3:, 3:]
+    return normalize(t_cov) * std * std, normalize(r_cov) * angle_std * angle_std
+
+
+def scan_step(state: PipelineState, stamp, points, rel_raw, valid, tmap,
+              pp: PipelineParams, ps: PipelineStatic):
+    """One LiDAR frame through the full matching pipeline.
+
+    Returns (state', out) with out = dict(icp pose, flags, diagnostics)."""
+    dtype = points.dtype
+    stamp = stamp - pp.lidar_time_delay
+
+    # Range gate (FilterPointsByDistance, cpp:451-465)
+    dist = jnp.linalg.norm(points, axis=1)
+    valid = valid & (dist <= pp.input_max_dist)
+
+    rel, scan_cur, scan_end = deskew_mod.normalize_scan_times(
+        rel_raw, valid, stamp, ps.scan_time_end
+    )
+
+    imu_r = state.imu_ring
+    ego_r = state.ego_ring
+    info = deskew_mod.make_deskew_info(
+        imu_r.t, imu_r.gyro, imu_r.valid_mask(),
+        ego_r.t, ego_r.pos, ego_r.rpy, ego_r.vel_local, ego_r.gyro,
+        ego_r.valid_mask(), scan_cur, scan_end,
+    )
+    pts_d, desk_ok = deskew_mod.deskew_points(
+        points, rel, valid, info,
+        run_deskew=ps.run_deskew, bug_compat_z=ps.bug_compat_deskew_z,
+    )
+    if ps.run_deskew:
+        usable = desk_ok
+    else:
+        usable = jnp.asarray(True)
+
+    sync_pose, found = rings.get_interpolated_pose(ego_r, scan_end)
+    usable = usable & found & (ego_r.count > 0)
+
+    ds_pts, ds_valid, _ = voxel_downsample(
+        pts_d, valid, pp.input_voxel_ds, ps.ds_points
+    )
+
+    init_guess = sync_pose @ pp.tf_ego_to_lidar
+    res = run_register(ds_pts, ds_valid, tmap, init_guess, pp.icp, ps.icp_static)
+
+    icp_ego_pose = res.pose @ pp.tf_lidar_to_ego
+    rot_ego = icp_ego_pose[:3, :3]
+    pos = icp_ego_pose[:3, 3]
+    quat = lie.rot_to_quat(rot_ego)
+    pos_cov, rot_cov = shape_icp_covariance(rot_ego, res.local_cov, res.fitness)
+
+    ct, cpos, cquat, comp_ok = rings.gnss_time_compensation(
+        ego_r, scan_end, pos, quat
+    )
+    meas = GnssMeas(
+        timestamp=ct,
+        source=jnp.asarray(int(GnssSource.PCM)),
+        pos=cpos,
+        rot=cquat,
+        pos_cov=pos_cov.astype(dtype),
+        rot_cov=rot_cov.astype(dtype),
+    )
+    apply = usable & res.success & comp_ok & ps.use_pcm
+    ekf2 = update_gnss(state.ekf, meas, pp.ekf, ps.ekf_flags)
+    new_state = _select_state(apply, state.replace(ekf=ekf2), state)
+
+    out = {
+        "scan_end": scan_end,
+        "icp_pose": icp_ego_pose,
+        "applied": apply,
+        "icp_success": res.success,
+        "deskew_ok": desk_ok,
+        "pose_sync_ok": found,
+        "fitness": res.fitness,
+        "overlap": res.overlap,
+        "iterations": res.iterations,
+    }
+    return new_state, out
+
+
+def pcm_init_step(state: PipelineState, t, pose, pp: PipelineParams,
+                  ps: PipelineStatic) -> PipelineState:
+    """Feed a relocalization result into the EKF (CallbackPcmInitOdom,
+    ekf_localization.cpp:181-204: covariance 1e-9, source PCM_INIT)."""
+    dtype = pose.dtype
+    meas = GnssMeas(
+        timestamp=t,
+        source=jnp.asarray(int(GnssSource.PCM_INIT)),
+        pos=pose[:3, 3],
+        rot=lie.rot_to_quat(pose[:3, :3]),
+        pos_cov=jnp.eye(3, dtype=dtype) * 1e-9,
+        rot_cov=jnp.eye(3, dtype=dtype) * 1e-9,
+    )
+    return state.replace(ekf=update_gnss(state.ekf, meas, pp.ekf, ps.ekf_flags))
+
+
+# --------------------------------------------------------------------------- #
+# Fully-fused replay (one compiled program per log shape)
+# --------------------------------------------------------------------------- #
+
+def replay_fused(state: PipelineState, batches, tmap,
+                 pp: PipelineParams, ps: PipelineStatic):
+    """lax.scan over scan frames; each step consumes that frame's IMU / CAN /
+    GPS sub-batches (masked fixed budgets) then the scan itself. Event order
+    within an inter-scan window is imu -> can -> gps -> scan.
+
+    ``batches`` comes from :func:`build_fused_batches`.
+    """
+
+    def frame(st, b):
+        def imu_body(s, x):
+            t, acc, gyro, v = x
+            s2 = imu_step(s, t, acc, gyro, pp, ps)
+            return _select_state(v, s2, s), None
+
+        st = jax.lax.scan(
+            imu_body, st,
+            (b["imu_t"], b["imu_acc"], b["imu_gyro"], b["imu_valid"]),
+        )[0]
+
+        if ps.use_can:
+            def can_body(s, x):
+                t, vel, yr, v = x
+                s2 = can_step(s, t, vel, yr, pp, ps)
+                return _select_state(v, s2, s), None
+
+            st = jax.lax.scan(
+                can_body, st,
+                (b["can_t"], b["can_vel"], b["can_yaw"], b["can_valid"]),
+            )[0]
+
+        if ps.use_gps:
+            def gps_body(s, x):
+                t, pos, cov, v = x
+                s2 = gps_step(s, t, pos, cov, pp, ps)
+                return _select_state(v, s2, s), None
+
+            st = jax.lax.scan(
+                gps_body, st,
+                (b["gps_t"], b["gps_pos"], b["gps_cov"], b["gps_valid"]),
+            )[0]
+
+        st, out = scan_step(
+            st, b["scan_t"], b["scan_points"], b["scan_times"],
+            b["scan_valid"], tmap, pp, ps,
+        )
+        es = ego_state(st.ekf)
+        out["ego_pos"] = es["pos"]
+        out["ego_rpy"] = es["rpy"]
+        out["ego_t"] = es["timestamp"]
+        return st, out
+
+    return jax.lax.scan(frame, state, batches)
+
+
+def build_fused_batches(log: ReplayLog, dtype=np.float32, time_base: float = 0.0):
+    """Group a ReplayLog into per-scan-frame sub-batches with fixed budgets.
+    Timestamps are rebased by ``time_base`` (see LocalizationPipeline)."""
+    ns = len(log.scan_t)
+
+    def bucket(ts, *arrays):
+        if ts is None:
+            return None
+        idx = np.searchsorted(log.scan_t, ts, side="left")
+        counts = np.bincount(idx[idx < ns], minlength=ns)
+        cap = max(int(counts.max()), 1)
+        t_b = np.zeros((ns, cap), dtype)
+        v_b = np.zeros((ns, cap), bool)
+        slots = np.zeros(ns, np.int64)
+        arr_bs = [
+            np.zeros((ns, cap) + np.asarray(a).shape[1:], dtype) for a in arrays
+        ]
+        for ei, fi in enumerate(idx):
+            if fi >= ns:
+                continue
+            k = slots[fi]
+            # rebase in float64 BEFORE the float32 store: epoch-scale stamps
+            # quantize to ~0.1 s in f32
+            t_b[fi, k] = float(ts[ei]) - time_base
+            v_b[fi, k] = True
+            for ai, a in enumerate(arrays):
+                arr_bs[ai][fi, k] = a[ei]
+            slots[fi] += 1
+        return [t_b, v_b] + arr_bs
+
+    imu = bucket(log.imu_t, log.imu_acc, log.imu_gyro)
+    batches = {
+        "scan_t": jnp.asarray(log.scan_t - time_base, dtype),
+        "scan_points": jnp.asarray(log.scan_points, dtype),
+        "scan_times": jnp.asarray(log.scan_times, dtype),
+        "scan_valid": jnp.asarray(log.scan_valid),
+        "imu_t": jnp.asarray(imu[0]),
+        "imu_valid": jnp.asarray(imu[1]),
+        "imu_acc": jnp.asarray(imu[2]),
+        "imu_gyro": jnp.asarray(imu[3]),
+    }
+    if log.can_t is not None:
+        can = bucket(log.can_t, log.can_vel, log.can_yaw_rate)
+        batches.update(
+            can_t=jnp.asarray(can[0]), can_valid=jnp.asarray(can[1]),
+            can_vel=jnp.asarray(can[2]), can_yaw=jnp.asarray(can[3]),
+        )
+    if log.gps_t is not None:
+        gps = bucket(log.gps_t, log.gps_pos, log.gps_cov)
+        batches.update(
+            gps_t=jnp.asarray(gps[0]), gps_valid=jnp.asarray(gps[1]),
+            gps_pos=jnp.asarray(gps[2]), gps_cov=jnp.asarray(gps[3]),
+        )
+    return batches
+
+
+# --------------------------------------------------------------------------- #
+# Host-facing pipeline
+# --------------------------------------------------------------------------- #
+
+class LocalizationPipeline:
+    """End-to-end localization over a prebuilt map.
+
+    Replaces the two-node ROS runtime: construct with a config and map
+    points, feed events (or a whole ReplayLog), read fused poses.
+
+    Timestamps are rebased to ``time_base`` (set on the first event) before
+    entering device code: epoch-scale stamps in float32 carry ~0.1 s
+    quantization, which is fatal to deskewing and dt arithmetic. All returned
+    trajectories are in absolute time again.
+    """
+
+    def __init__(self, cfg: ElimalocConfig, map_points: np.ndarray, *,
+                 dtype=jnp.float32, backend: str = "tile", tile_budget=None,
+                 ds_points: int = 8192, ego_ring_size: int = 1024,
+                 imu_ring_size: int = 512, tile_voxels: int = 4,
+                 use_native: bool = True):
+        self.cfg = cfg
+        method = cfg.pcm.icp_method
+        self.built = map_builder.build_voxel_map(
+            map_points,
+            cfg.pcm.pcm_voxel_size,
+            cfg.pcm.pcm_voxel_max_point,
+            compute_voxel_cov=method in (IcpMethod.VGICP, IcpMethod.AVGICP),
+            compute_point_cov=method == IcpMethod.GICP,
+            gicp_cov_search_dist=cfg.pcm.gicp_cov_search_dist,
+            use_native=use_native,
+        )
+        if backend == "tile":
+            self.map = map_tiles.build_tile_map(
+                self.built, tile_voxels=tile_voxels
+            ).to_device(dtype=dtype)
+        else:
+            self.map = map_grid.to_device(self.built, dtype=dtype)
+        self.params = make_pipeline_params(cfg, dtype=dtype)
+        self.static = make_pipeline_static(
+            cfg, backend=backend, tile_budget=tile_budget, ds_points=ds_points
+        )
+        self.dtype = dtype
+        self._ego_ring_size = ego_ring_size
+        self._imu_ring_size = imu_ring_size
+        self.time_base = None
+
+        self._imu_step = jax.jit(
+            functools.partial(imu_step, pp=self.params, ps=self.static)
+        )
+        self._scan_step = jax.jit(
+            functools.partial(scan_step, tmap=self.map, pp=self.params,
+                              ps=self.static)
+        )
+        self._gps_step = jax.jit(
+            functools.partial(gps_step, pp=self.params, ps=self.static)
+        )
+        self._can_step = jax.jit(
+            functools.partial(can_step, pp=self.params, ps=self.static)
+        )
+        self._pcm_init_step = jax.jit(
+            functools.partial(pcm_init_step, pp=self.params, ps=self.static)
+        )
+        self._register = jax.jit(
+            functools.partial(run_register, params=self.params.icp,
+                              static=self.static.icp_static)
+        )
+
+    def _rebase(self, t):
+        if self.time_base is None:
+            self.time_base = float(np.floor(np.min(np.asarray(t))))
+        return np.asarray(t, np.float64) - self.time_base
+
+    def reset(self) -> PipelineState:
+        self.time_base = None
+        return PipelineState(
+            ekf=init_state(self.params.ekf, dtype=self.dtype),
+            ego_ring=rings.make_ego_ring(self._ego_ring_size, self.dtype),
+            imu_ring=rings.make_imu_ring(self._imu_ring_size, self.dtype),
+        )
+
+    # ---- relocalization (CallbackInitialPose, pcm_matching.cpp:356-447) ----
+    def initialize_at(self, state: PipelineState, x, y, yaw, scan_points,
+                      scan_valid, timestamp) -> Tuple[PipelineState, bool]:
+        """rviz-click flow: ground-height fix -> ICP from the clicked pose ->
+        PCM_INIT hard reset into the EKF."""
+        timestamp = float(self._rebase(timestamp))
+        found, ground_z = map_builder.find_ground_height(self.built, [x, y])
+        if not found:
+            return state, False
+        pose = np.eye(4)
+        pose[:3, :3] = np.asarray(lie.euler_to_rot(jnp.asarray([0.0, 0.0, yaw])))
+        pose[:3, 3] = [x, y, ground_z]
+        init_lidar = jnp.asarray(pose, self.dtype) @ self.params.tf_ego_to_lidar
+        ds_pts, ds_valid, _ = voxel_downsample(
+            jnp.asarray(scan_points, self.dtype), jnp.asarray(scan_valid),
+            self.params.input_voxel_ds, self.static.ds_points,
+        )
+        res = self._register(ds_pts, ds_valid, self.map, init_lidar)
+        if not bool(res.success):
+            return state, False
+        final = res.pose @ self.params.tf_lidar_to_ego
+        state = self._pcm_init_step(
+            state, jnp.asarray(timestamp, self.dtype), final
+        )
+        return state, True
+
+    # ---- host event loop ----
+    def run(self, log: ReplayLog, state: Optional[PipelineState] = None,
+            collect_every_imu: bool = False):
+        """Replay a log in event-time order. Returns (state, trajectory dict)."""
+        state = state if state is not None else self.reset()
+        base_candidates = [log.imu_t[0], log.scan_t[0]]
+        self._rebase(min(base_candidates))
+        events = []
+        events += [("imu", i, t) for i, t in enumerate(self._rebase(log.imu_t))]
+        events += [("scan", i, t) for i, t in enumerate(self._rebase(log.scan_t))]
+        if log.gps_t is not None and self.static.use_gps:
+            events += [("gps", i, t) for i, t in enumerate(self._rebase(log.gps_t))]
+        if log.can_t is not None and self.static.use_can:
+            events += [("can", i, t) for i, t in enumerate(self._rebase(log.can_t))]
+        events.sort(key=lambda e: e[2])
+
+        traj_t, traj_pos, traj_rpy, scan_log = [], [], [], []
+        f = self.dtype
+        for kind, i, t in events:
+            tv = jnp.asarray(t, f)
+            if kind == "imu":
+                state = self._imu_step(
+                    state, tv, jnp.asarray(log.imu_acc[i], f),
+                    jnp.asarray(log.imu_gyro[i], f),
+                )
+                if collect_every_imu:
+                    es = ego_state(state.ekf)
+                    traj_t.append(float(es["timestamp"]) + self.time_base)
+                    traj_pos.append(np.asarray(es["pos"]))
+                    traj_rpy.append(np.asarray(es["rpy"]))
+            elif kind == "scan":
+                state, out = self._scan_step(
+                    state, tv, jnp.asarray(log.scan_points[i], f),
+                    jnp.asarray(log.scan_times[i], f),
+                    jnp.asarray(log.scan_valid[i]),
+                )
+                es = ego_state(state.ekf)
+                traj_t.append(float(es["timestamp"]) + self.time_base)
+                traj_pos.append(np.asarray(es["pos"]))
+                traj_rpy.append(np.asarray(es["rpy"]))
+                scan_log.append(
+                    {k: np.asarray(v) for k, v in out.items()}
+                )
+            elif kind == "gps":
+                state = self._gps_step(
+                    state, tv, jnp.asarray(log.gps_pos[i], f),
+                    jnp.asarray(log.gps_cov[i], f),
+                )
+            elif kind == "can":
+                state = self._can_step(
+                    state, tv, jnp.asarray(log.can_vel[i], f),
+                    jnp.asarray(log.can_yaw_rate[i], f),
+                )
+        traj = {
+            "t": np.asarray(traj_t),
+            "pos": np.stack(traj_pos) if traj_pos else np.zeros((0, 3)),
+            "rpy": np.stack(traj_rpy) if traj_rpy else np.zeros((0, 3)),
+            "scans": scan_log,
+        }
+        return state, traj
+
+    # ---- fused replay ----
+    def run_fused(self, log: ReplayLog, state: Optional[PipelineState] = None):
+        state = state if state is not None else self.reset()
+        self._rebase(min(log.imu_t[0], log.scan_t[0]))
+        batches = build_fused_batches(log, time_base=self.time_base)
+        fused = jax.jit(
+            functools.partial(replay_fused, pp=self.params, ps=self.static)
+        )
+        state, outs = fused(state, batches, self.map)
+        outs["ego_t_abs"] = np.asarray(outs["ego_t"], np.float64) + self.time_base
+        return state, outs
