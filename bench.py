@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Benchmark: full fused localization (deskew + ICP + EKF) scans/sec on TPU.
+
+Metric (BASELINE.json): ICP-registered scans/sec at 128k raw points per scan,
+versus the measured single-core CPU reference pipeline
+(elimaloc_tpu/reference_cpu.py) running the same math on the same data.
+The reference publishes no numbers (BASELINE.md), so the baseline is measured
+here, each run, on this machine.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from elimaloc_tpu.config import ElimalocConfig, IcpMethod
+from elimaloc_tpu.map import TileQueryBudget
+from elimaloc_tpu.pipeline import (
+    LocalizationPipeline,
+    ate_rmse,
+    make_world,
+    synthesize_log,
+)
+from elimaloc_tpu.reference_cpu import CpuVoxelGrid, cpu_scan_step
+
+RAW_POINTS = int(os.environ.get("BENCH_RAW_POINTS", 131072))
+INDEX_SAMPLING = 5          # reference: input_index_sampling (ini :88)
+N_SCANS = int(os.environ.get("BENCH_SCANS", 40))
+CPU_SCANS = int(os.environ.get("BENCH_CPU_SCANS", 3))
+RTT = 0.035                 # axon relay round-trip, measured
+
+
+def build_everything():
+    world = make_world(seed=3, extent=120.0, n_ground=400_000, n_wall=200_000)
+    log = synthesize_log(
+        world,
+        duration=(N_SCANS + 3) * 0.1,
+        points_per_scan=RAW_POINTS,
+        max_range=100.0,
+        seed=4,
+    )
+    # Reference ingest: index subsampling 1/5 (pcm_matching.cpp:908-921)
+    sl = slice(None, None, INDEX_SAMPLING)
+    log.scan_points = np.ascontiguousarray(log.scan_points[:, sl])
+    log.scan_times = np.ascontiguousarray(log.scan_times[:, sl])
+    log.scan_valid = np.ascontiguousarray(log.scan_valid[:, sl])
+
+    cfg = ElimalocConfig()
+    cfg.pcm.icp_method = IcpMethod.P2P
+    cfg.pcm.lidar_time_delay = 0.0
+    cfg.ekf.ekf_init_x_m = 60.0
+    cfg.ekf.ekf_init_y_m = 0.0
+    cfg.ekf.ekf_init_yaw_deg = 90.0
+    cfg.calib.ego_to_lidar_trans = (0.0, 0.0, 0.0)
+    cfg.calib.ego_to_lidar_rot_deg = (0.0, 0.0, 0.0)
+
+    pipe = LocalizationPipeline(
+        cfg, world,
+        ds_points=8192,
+        tile_budget=TileQueryBudget(qb=64, max_slots=1536),
+        ego_ring_size=512, imu_ring_size=256,
+    )
+    return pipe, log
+
+
+def bench_tpu(pipe, log):
+    state, outs = pipe.run_fused(log)          # compile + first run
+    float(jnp.sum(outs["ego_pos"]))
+    t0 = time.time()
+    state, outs = pipe.run_fused(log)
+    float(jnp.sum(outs["ego_pos"]))
+    dt = max(time.time() - t0 - RTT, 1e-9)
+    n = len(log.scan_t)
+    ate = ate_rmse(
+        np.asarray(outs["ego_t_abs"]), np.asarray(outs["ego_pos"]),
+        log.truth_t, log.truth_pos,
+    )
+    applied = float(np.asarray(outs["applied"]).mean())
+    return n / dt, ate, applied
+
+
+def bench_cpu(pipe, log):
+    """Single-core NumPy reference on the same scans, truth-initialized."""
+    grid = CpuVoxelGrid(pipe.built)
+    from elimaloc_tpu.pipeline.log import _traj
+
+    t0_log = float(log.imu_t[0])
+    times = []
+    for k in range(2, 2 + CPU_SCANS):
+        stamp = float(log.scan_t[k])
+        pts = log.scan_points[k][log.scan_valid[k]].astype(np.float64)
+        rel_raw = log.scan_times[k][log.scan_valid[k]].astype(np.float64)
+        front = rel_raw[0]
+        scan_end = stamp
+        scan_cur = stamp + front
+        rel = rel_raw - front
+        pos, yaw, vel, _, _ = _traj(np.array([scan_cur - t0_log]), ramp=3.0)
+        incre = (vel[0] * (scan_end - scan_cur))
+        init = np.eye(4)
+        th = yaw[0]
+        init[:2, :2] = [[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]]
+        pose_t, _, _, _, _ = _traj(np.array([scan_end - t0_log]), ramp=3.0)
+        init[:3, 3] = pose_t[0] + [0.2, -0.1, 0.02]
+        t1 = time.time()
+        pose, ok, fit = cpu_scan_step(
+            grid, pts, rel, log.imu_t - t0_log, log.imu_gyro,
+            scan_cur - t0_log, scan_end - t0_log, incre, init,
+        )
+        times.append(time.time() - t1)
+        assert ok, "CPU reference ICP failed"
+    return 1.0 / float(np.mean(times))
+
+
+def main():
+    pipe, log = build_everything()
+    tpu_sps, ate, applied = bench_tpu(pipe, log)
+    cpu_sps = bench_cpu(pipe, log)
+    print(
+        json.dumps(
+            {
+                "metric": "fused localization scans/sec (128k-pt scans, "
+                          "deskew+P2P ICP+EKF)",
+                "value": round(tpu_sps, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(tpu_sps / cpu_sps, 2),
+                "cpu_baseline_scans_per_s": round(cpu_sps, 2),
+                "ate_rmse_m": round(ate, 4),
+                "applied_ratio": round(applied, 3),
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from .sharding import (  # noqa: F401
+    make_mesh,
+    register_batch_2d,
+    register_batch_dp,
+    register_sharded,
+    replicate,
+)

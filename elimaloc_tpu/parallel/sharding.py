@@ -1,0 +1,148 @@
+"""Multi-chip scaling via jax.sharding: SPMD over scan batch + point axis.
+
+The reference's complete concurrency story is intra-process TBB data
+parallelism over points plus two localhost ROS processes (SURVEY.md §2
+C11-C13); there is no multi-machine path. The TPU-native equivalents:
+
+  * ``sp`` (spatial/point parallel): one registration's source-point axis is
+    sharded over devices with ``shard_map``; the per-iteration Gauss-Newton
+    partials (matched count, 6x6 JTJ, 6x1 JTr, fitness numerator) are psum'd
+    over ICI so every device runs the identical LM solve and termination in
+    lockstep — the associative reduction tbb::parallel_reduce exploits on CPU
+    (voxel_hash_map.cpp:57-84), expressed as an XLA collective.
+  * ``dp`` (data parallel): independent registrations (multi-vehicle fleets,
+    batched log replay, relocalization hypothesis search) shard over the
+    batch axis with no cross-talk.
+
+The map itself is replicated (tens of MB — ICI broadcast once); sharding the
+map axis instead would be the memory-bound regime, not the compute-bound one.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..register import run_register
+from ..register.icp import IcpParams, IcpStatic
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              axis_names=("dp", "sp")) -> Mesh:
+    """Build a (dp, sp) mesh over the available devices."""
+    devs = np.asarray(jax.devices())
+    n = n_devices or len(devs)
+    devs = devs[:n]
+    if dp is None:
+        # favor point-sharding for a single registration, square-ish otherwise
+        dp = 1
+        for cand in range(int(np.sqrt(n)), 0, -1):
+            if n % cand == 0:
+                dp = cand
+                break
+    sp = n // dp
+    return Mesh(devs.reshape(dp, sp), axis_names)
+
+
+def register_sharded(scan, valid, grid, init_pose, params: IcpParams,
+                     static: IcpStatic, mesh: Mesh, axis: str = "sp"):
+    """One registration with the point axis sharded over ``axis``.
+
+    scan [N,3] / valid [N] are split along N; the map and initial pose are
+    replicated. Returns a fully-replicated IcpResult.
+    """
+    static_sp = IcpStatic(
+        method=static.method,
+        max_iteration=static.max_iteration,
+        use_radar_cov=static.use_radar_cov,
+        backend=static.backend,
+        tile_budget=static.tile_budget,
+        psum_axis=axis,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis),
+            jax.tree_util.tree_map(lambda _: P(), grid),
+            P(), jax.tree_util.tree_map(lambda _: P(), params),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def inner(scan_l, valid_l, grid_l, init_l, params_l):
+        return run_register(scan_l, valid_l, grid_l, init_l, params_l, static_sp)
+
+    return inner(scan, valid, grid, init_pose, params)
+
+
+def register_batch_dp(scans, valids, grid, init_poses, params: IcpParams,
+                      static: IcpStatic, mesh: Mesh, axis: str = "dp"):
+    """Batch of independent registrations sharded over ``axis`` (vmap inside
+    each shard). scans [B,N,3], valids [B,N], init_poses [B,4,4]."""
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis),
+            jax.tree_util.tree_map(lambda _: P(), grid),
+            P(axis), jax.tree_util.tree_map(lambda _: P(), params),
+        ),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    def inner(scans_l, valids_l, grid_l, inits_l, params_l):
+        return jax.vmap(
+            lambda s, v, i: run_register(s, v, grid_l, i, params_l, static)
+        )(scans_l, valids_l, inits_l)
+
+    return inner(scans, valids, grid, init_poses, params)
+
+
+def register_batch_2d(scans, valids, grid, init_poses, params: IcpParams,
+                      static: IcpStatic, mesh: Mesh,
+                      dp_axis: str = "dp", sp_axis: str = "sp"):
+    """Full 2D decomposition: batch over ``dp_axis`` x points over ``sp_axis``
+    — every device holds a [B/dp, N/sp] tile; GN partials psum over sp only.
+    This is the framework's flagship multi-chip step."""
+    static_sp = IcpStatic(
+        method=static.method,
+        max_iteration=static.max_iteration,
+        use_radar_cov=static.use_radar_cov,
+        backend=static.backend,
+        tile_budget=static.tile_budget,
+        psum_axis=sp_axis,
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(dp_axis, sp_axis), P(dp_axis, sp_axis),
+            jax.tree_util.tree_map(lambda _: P(), grid),
+            P(dp_axis), jax.tree_util.tree_map(lambda _: P(), params),
+        ),
+        out_specs=P(dp_axis),
+        check_vma=False,
+    )
+    def inner(scans_l, valids_l, grid_l, inits_l, params_l):
+        return jax.vmap(
+            lambda s, v, i: run_register(s, v, grid_l, i, params_l, static_sp)
+        )(scans_l, valids_l, inits_l)
+
+    return inner(scans, valids, grid, init_poses, params)
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
+        tree,
+    )

@@ -509,6 +509,11 @@ class LocalizationPipeline:
         self._pcm_init_step = jax.jit(
             functools.partial(pcm_init_step, pp=self.params, ps=self.static)
         )
+        # One persistent jitted fused-replay callable: re-wrapping per call
+        # would defeat the jit cache and recompile every run.
+        self._fused = jax.jit(
+            functools.partial(replay_fused, pp=self.params, ps=self.static)
+        )
         self._register = jax.jit(
             functools.partial(run_register, params=self.params.icp,
                               static=self.static.icp_static)
@@ -619,9 +624,6 @@ class LocalizationPipeline:
         state = state if state is not None else self.reset()
         self._rebase(min(log.imu_t[0], log.scan_t[0]))
         batches = build_fused_batches(log, time_base=self.time_base)
-        fused = jax.jit(
-            functools.partial(replay_fused, pp=self.params, ps=self.static)
-        )
-        state, outs = fused(state, batches, self.map)
+        state, outs = self._fused(state, batches, self.map)
         outs["ego_t_abs"] = np.asarray(outs["ego_t"], np.float64) + self.time_base
         return state, outs

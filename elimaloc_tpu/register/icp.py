@@ -77,6 +77,12 @@ class IcpStatic:
     use_radar_cov: bool = False
     backend: str = "tile"
     tile_budget: maptiles.TileQueryBudget = maptiles.TileQueryBudget()
+    # When set, the source-point axis is sharded across this mesh axis:
+    # per-device partial (matched, JTJ, JTr, fitness numerator, valid count)
+    # are psum'd so every device runs the identical GN solve and termination
+    # logic in lockstep (SURVEY.md §5.7: the reduction is associative, the
+    # same property tbb::parallel_reduce exploits on the CPU).
+    psum_axis: str | None = None
 
 
 def make_icp_params(cfg: PcmConfig, dtype=jnp.float32) -> IcpParams:
@@ -252,6 +258,7 @@ def _iteration(pose, src_local, src_valid, grid, params, static, radar_cov):
             src_local, target, maha, w, valid.astype(dtype), pose
         )
         fit_num = jnp.sum(jnp.where(valid, jnp.sqrt(r2), 0.0))
+        # (P2P)
 
     elif method == int(IcpMethod.GICP):
         if static.backend == "tile":
@@ -343,8 +350,7 @@ def _iteration(pose, src_local, src_valid, grid, params, static, radar_cov):
         )
         fit_num = jnp.sum(jnp.where(keep, jnp.sqrt(r2), 0.0))
 
-    fitness = fit_num / jnp.maximum(matched, 1).astype(dtype)
-    return matched, JTJ, JTr, fitness
+    return matched, JTJ, JTr, fit_num
 
 
 # --------------------------------------------------------------------------- #
@@ -372,7 +378,10 @@ def run_register(
     """
     dtype = src_local.dtype
     pose0 = jnp.asarray(initial_guess, dtype=dtype)
-    total = jnp.maximum(jnp.sum(src_valid), 1).astype(dtype)
+    total = jnp.sum(src_valid)
+    if static.psum_axis is not None:
+        total = jax.lax.psum(total, static.psum_axis)
+    total = jnp.maximum(total, 1).astype(dtype)
 
     radar_cov = None
     if static.use_radar_cov:
@@ -387,9 +396,15 @@ def run_register(
 
     def body(carry):
         pose, it, done, failed, fitness, local_cov, overlap = carry
-        matched, JTJ, JTr, fit = _iteration(
+        matched, JTJ, JTr, fit_num = _iteration(
             pose, src_local, src_valid, grid, params, static, radar_cov
         )
+        if static.psum_axis is not None:
+            matched = jax.lax.psum(matched, static.psum_axis)
+            JTJ = jax.lax.psum(JTJ, static.psum_axis)
+            JTr = jax.lax.psum(JTr, static.psum_axis)
+            fit_num = jax.lax.psum(fit_num, static.psum_axis)
+        fit = fit_num / jnp.maximum(matched, 1).astype(dtype)
         ratio = matched.astype(dtype) / total
         overlap_ok = ratio >= params.min_overlap_ratio
 
