@@ -462,22 +462,26 @@ class LocalizationPipeline:
     trajectories are in absolute time again.
     """
 
-    def __init__(self, cfg: ElimalocConfig, map_points: np.ndarray, *,
+    def __init__(self, cfg: ElimalocConfig, map_points, *,
                  dtype=jnp.float32, backend: str = "tile", tile_budget=None,
                  ds_points: int = 8192, ego_ring_size: int = 1024,
                  imu_ring_size: int = 512, tile_voxels: int = 4,
                  use_native: bool = True):
         self.cfg = cfg
         method = cfg.pcm.icp_method
-        self.built = map_builder.build_voxel_map(
-            map_points,
-            cfg.pcm.pcm_voxel_size,
-            cfg.pcm.pcm_voxel_max_point,
-            compute_voxel_cov=method in (IcpMethod.VGICP, IcpMethod.AVGICP),
-            compute_point_cov=method == IcpMethod.GICP,
-            gicp_cov_search_dist=cfg.pcm.gicp_cov_search_dist,
-            use_native=use_native,
-        )
+        if isinstance(map_points, map_builder.BuiltMap):
+            # prebuilt / checkpointed map (utils.checkpoint.load_built_map)
+            self.built = map_points
+        else:
+            self.built = map_builder.build_voxel_map(
+                map_points,
+                cfg.pcm.pcm_voxel_size,
+                cfg.pcm.pcm_voxel_max_point,
+                compute_voxel_cov=method in (IcpMethod.VGICP, IcpMethod.AVGICP),
+                compute_point_cov=method == IcpMethod.GICP,
+                gicp_cov_search_dist=cfg.pcm.gicp_cov_search_dist,
+                use_native=use_native,
+            )
         if backend == "tile":
             self.map = map_tiles.build_tile_map(
                 self.built, tile_voxels=tile_voxels
@@ -530,6 +534,18 @@ class LocalizationPipeline:
             ekf=init_state(self.params.ekf, dtype=self.dtype),
             ego_ring=rings.make_ego_ring(self._ego_ring_size, self.dtype),
             imu_ring=rings.make_imu_ring(self._imu_ring_size, self.dtype),
+        )
+
+    def project_gps(self, lat, lon, height):
+        """lat/lon/h -> local ENU using the configured geodetic origin
+        (ProjectGpsPoint, ekf_localization.cpp:643-648)."""
+        from ..ops import geo
+
+        e = self.cfg.ekf
+        return np.asarray(
+            geo.project_gps_point(
+                lat, lon, height, e.ref_latitude, e.ref_longitude, e.ref_height
+            )
         )
 
     # ---- relocalization (CallbackInitialPose, pcm_matching.cpp:356-447) ----

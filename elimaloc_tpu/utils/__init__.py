@@ -1,0 +1,14 @@
+from .checkpoint import (  # noqa: F401
+    load_built_map,
+    load_state,
+    save_built_map,
+    save_state,
+)
+from .observability import (  # noqa: F401
+    export_cloud_ply,
+    export_metrics_jsonl,
+    export_trajectory_tum,
+    scan_metrics,
+    state_dashboard,
+)
+from .timing import StageTimers, device_trace  # noqa: F401
