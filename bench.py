@@ -64,7 +64,7 @@ def build_everything():
     pipe = LocalizationPipeline(
         cfg, world,
         ds_points=8192,
-        tile_budget=TileQueryBudget(qb=64, max_slots=1536),
+        tile_budget=TileQueryBudget(qb=8, max_slots=3072, pallas=True),
         ego_ring_size=512, imu_ring_size=256,
     )
     return pipe, log

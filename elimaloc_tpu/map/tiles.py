@@ -58,6 +58,14 @@ class TileMap:
     tile_vox_coord: jnp.ndarray         # [T+1, MTV, 3] int32, pad sentinel
     tile_vox_counts: jnp.ndarray        # [T+1] int32
 
+    # transposed lane-aligned copies for the Pallas kernels (last dim padded
+    # to a multiple of 128; geometry padded with 1e30, not inf, so stray
+    # MXU products stay NaN-free)
+    tile_points_t: Optional[jnp.ndarray]     # [T+1, 3, MTPp] f32
+    tile_vox_mean_t: Optional[jnp.ndarray]   # [T+1, 3, MTVp] f32
+    tile_vox_coord_t: Optional[jnp.ndarray]  # [T+1, 3, MTVp] int32
+    tile_vox_cov_t: Optional[jnp.ndarray]    # [T+1, 9, MTVp] f32
+
     voxel_size: float = struct.field(pytree_node=False)
     tile_size: float = struct.field(pytree_node=False)
     tx0: int = struct.field(pytree_node=False)   # tile-grid origin (tile units)
@@ -76,17 +84,29 @@ class TileMap:
 
 @dataclasses.dataclass(frozen=True)
 class TileQueryBudget:
-    """Static shape budgets for one query batch."""
+    """Static shape budgets for one query batch.
 
-    qb: int = 64           # queries per slot
-    max_slots: int = 640   # >= N/qb + (#occupied query tiles)
+    ``pallas=True`` routes the per-slot search through the fused VMEM kernels
+    (pallas/corr_kernels.py) — same results, ~10x less HBM traffic; requires
+    a map built with for_pallas=True (the default)."""
+
+    qb: int = 8            # queries per slot (small: slot fill beats SIMD width)
+    max_slots: int = 2560  # >= N/qb + (#occupied query tiles)
+    pallas: bool = False
 
     def for_queries(self, n: int):
         return self
 
 
-def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
-    """Re-block a BuiltMap into padded per-tile tensors (host side)."""
+def _round_up(x, m=128):
+    return ((max(x, 1) + m - 1) // m) * m
+
+
+def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
+                   for_pallas: bool = True) -> "HostTileMap":
+    """Re-block a BuiltMap into padded per-tile tensors (host side).
+    ``for_pallas`` additionally materializes transposed lane-aligned copies
+    consumed by the Pallas correspondence kernels."""
     vs = built.voxel_size
     ts = vs * tile_voxels
     # numpy // floors for negative ints, matching floor(p / tile_size).
@@ -138,6 +158,26 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
         tile_point_cov[sp_tiles, p_rank] = flat_cov[p_order]
         tile_point_cov_mean[sp_tiles, p_rank] = flat_cm[p_order]
 
+    tile_points_t = tile_vox_mean_t = tile_vox_coord_t = tile_vox_cov_t = None
+    if for_pallas:
+        big = np.float32(1e30)
+        mtp_p = _round_up(mtp)
+        tile_points_t = np.full((t + 1, 3, mtp_p), big, np.float32)
+        tile_points_t[:, :, :mtp] = np.where(
+            np.isfinite(tile_points), tile_points, big
+        ).transpose(0, 2, 1)
+        mtv_p = _round_up(mtv)
+        tile_vox_mean_t = np.full((t + 1, 3, mtv_p), big, np.float32)
+        tile_vox_mean_t[:, :, :mtv] = np.where(
+            np.isfinite(tile_vox_mean), tile_vox_mean, big
+        ).transpose(0, 2, 1)
+        tile_vox_coord_t = np.full((t + 1, 3, mtv_p), _COORD_SENTINEL, np.int32)
+        tile_vox_coord_t[:, :, :mtv] = tile_vox_coord.transpose(0, 2, 1)
+        tile_vox_cov_t = np.zeros((t + 1, 9, mtv_p), np.float32)
+        tile_vox_cov_t[:, :, :mtv] = tile_vox_cov.reshape(
+            t + 1, mtv, 9
+        ).transpose(0, 2, 1)
+
     return HostTileMap(
         tile_points=tile_points,
         tile_counts=tile_counts,
@@ -147,6 +187,10 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
         tile_vox_cov=tile_vox_cov,
         tile_vox_coord=tile_vox_coord,
         tile_vox_counts=tile_vox_counts,
+        tile_points_t=tile_points_t,
+        tile_vox_mean_t=tile_vox_mean_t,
+        tile_vox_coord_t=tile_vox_coord_t,
+        tile_vox_cov_t=tile_vox_cov_t,
         voxel_size=float(vs),
         tile_size=float(ts),
         tx0=tx0,
@@ -166,6 +210,10 @@ class HostTileMap:
     tile_vox_cov: np.ndarray
     tile_vox_coord: np.ndarray
     tile_vox_counts: np.ndarray
+    tile_points_t: Optional[np.ndarray]
+    tile_vox_mean_t: Optional[np.ndarray]
+    tile_vox_coord_t: Optional[np.ndarray]
+    tile_vox_cov_t: Optional[np.ndarray]
     voxel_size: float
     tile_size: float
     tx0: int
@@ -184,6 +232,10 @@ class HostTileMap:
             tile_vox_cov=jnp.asarray(self.tile_vox_cov, dtype=dtype),
             tile_vox_coord=jnp.asarray(self.tile_vox_coord),
             tile_vox_counts=jnp.asarray(self.tile_vox_counts),
+            tile_points_t=a(self.tile_points_t),
+            tile_vox_mean_t=a(self.tile_vox_mean_t),
+            tile_vox_coord_t=a(self.tile_vox_coord_t),
+            tile_vox_cov_t=a(self.tile_vox_cov_t),
             voxel_size=self.voxel_size,
             tile_size=self.tile_size,
             tx0=self.tx0,
@@ -336,6 +388,11 @@ def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
     (hash-grid/GetCorrespondencePoints semantics). Returns
     (target [N,3], valid [N]) plus (cov [N,3,3], cov_mean [N,3]) when
     ``with_point_cov`` (GICP)."""
+    if budget.pallas:
+        return _query_nearest_point_pallas(
+            tmap, queries, valid, max_dist, budget,
+            with_point_cov=with_point_cov,
+        )
     n = queries.shape[0]
     asg = assign_slots(tmap, queries, valid, budget)
     nbr = _neighbor_tiles(tmap, asg.slot_tile)          # [S,9]
@@ -402,6 +459,10 @@ def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
                             budget: TileQueryBudget, chunk: int = 8):
     """VGICP: covariance of the 27-neighborhood voxel whose mean is closest.
     Returns (cov [N,3,3], mean [N,3], valid [N])."""
+    if budget.pallas:
+        return _query_nearest_voxel_cov_pallas(
+            tmap, queries, valid, max_dist, budget
+        )
     n = queries.shape[0]
     asg = assign_slots(tmap, queries, valid, budget)
     nbr = _neighbor_tiles(tmap, asg.slot_tile)
@@ -501,3 +562,73 @@ def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
     )
     mean = jnp.where(ok[..., None], mean, queries[:, None, :])
     return cov, mean, ok
+
+
+# --------------------------------------------------------------------------- #
+# Pallas-fused variants
+# --------------------------------------------------------------------------- #
+
+def _query_nearest_point_pallas(tmap: TileMap, queries, valid, max_dist,
+                                budget: TileQueryBudget, *,
+                                with_point_cov: bool = False):
+    from ..pallas.corr_kernels import nearest_point_pallas
+
+    if tmap.tile_points_t is None:
+        raise ValueError("map built without for_pallas=True")
+    n = queries.shape[0]
+    asg = assign_slots(tmap, queries, valid, budget)
+    tgt, d2, idx = nearest_point_pallas(
+        tmap, asg.qbuf.astype(jnp.float32), asg.qvox, asg.slot_tile
+    )
+    ok = asg.qmask & (d2 < max_dist * max_dist)
+    mtp_p = tmap.tile_points_t.shape[2]
+    nbr = _neighbor_tiles(tmap, asg.slot_tile)
+    nbr_k = idx // mtp_p                                   # [S,QB] neighbor 0..8
+    slot_in_tile = idx % mtp_p
+    tile_row = jnp.take_along_axis(nbr, nbr_k, axis=1)     # [S,QB]
+    out = _scatter_back(
+        n, asg.qidx,
+        (queries[0] * 0.0, tgt.astype(queries.dtype)),
+        (jnp.asarray(False), ok),
+        (jnp.asarray(0, jnp.int32), tile_row),
+        (jnp.asarray(0, jnp.int32), slot_in_tile),
+    )
+    target, ok_n, tile_n, slot_n = out
+    target = jnp.where(ok_n[:, None], target, queries)
+    if not with_point_cov:
+        return target, ok_n
+    # Per-query payload gather from the untransposed arrays (N rows).
+    tile_safe = jnp.where(ok_n, tile_n, tmap.sentinel)
+    slot_safe = jnp.where(ok_n, jnp.minimum(slot_n, tmap.tile_point_cov.shape[1] - 1), 0)
+    cov = tmap.tile_point_cov[tile_safe, slot_safe].astype(queries.dtype)
+    mean = tmap.tile_point_cov_mean[tile_safe, slot_safe].astype(queries.dtype)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
+    cov = jnp.where(ok_n[:, None, None], cov, eye)
+    mean = jnp.where(ok_n[:, None] & jnp.isfinite(mean), mean, queries)
+    return target, ok_n, cov, mean
+
+
+def _query_nearest_voxel_cov_pallas(tmap: TileMap, queries, valid, max_dist,
+                                    budget: TileQueryBudget):
+    from ..pallas.corr_kernels import nearest_voxel_cov_pallas
+
+    if tmap.tile_vox_mean_t is None:
+        raise ValueError("map built without for_pallas=True")
+    n = queries.shape[0]
+    asg = assign_slots(tmap, queries, valid, budget)
+    mean, cov9, d2 = nearest_voxel_cov_pallas(
+        tmap, asg.qbuf.astype(jnp.float32), asg.qvox, asg.slot_tile
+    )
+    ok = asg.qmask & (d2 < max_dist * max_dist)
+    out = _scatter_back(
+        n, asg.qidx,
+        (jnp.eye(3, dtype=queries.dtype).reshape(9), cov9.astype(queries.dtype)),
+        (queries[0] * 0.0, mean.astype(queries.dtype)),
+        (jnp.asarray(False), ok),
+    )
+    cov9_n, mean_n, ok_n = out
+    cov = cov9_n.reshape(n, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
+    cov = jnp.where(ok_n[:, None, None], cov, eye)
+    mean = jnp.where(ok_n[:, None], mean_n, queries)
+    return cov, mean, ok_n

@@ -15,6 +15,7 @@ from elimaloc_tpu.map import tiles
 
 RNG = np.random.default_rng(33)
 BUDGET = TileQueryBudget(qb=32, max_slots=1024)
+BUDGET_P = TileQueryBudget(qb=8, max_slots=1024, pallas=True)
 
 
 def make_maps(n=4000, extent=15.0, voxel=1.0, max_pts=10, **kw):
@@ -29,12 +30,14 @@ def queries(n=512, extent=16.0):
 
 
 class TestNearestPoint:
-    def test_matches_hash_grid(self):
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
+                             ids=["xla", "pallas"])
+    def test_matches_hash_grid(self, budget):
         grid, tmap = make_maps()
         q = queries()
         v_in = jnp.ones(q.shape[0], bool)
         t_h, v_h, _, _ = hashgrid.query_nearest_point(grid, q, 5.0)
-        t_t, v_t = tiles.query_nearest_point(tmap, q, v_in, 5.0, BUDGET)
+        t_t, v_t = tiles.query_nearest_point(tmap, q, v_in, 5.0, budget)
         np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_h))
         # same nearest distance (tie order may differ)
         d_h = np.linalg.norm(np.asarray(t_h) - np.asarray(q), axis=1)
@@ -50,13 +53,15 @@ class TestNearestPoint:
         t_t, v_t = tiles.query_nearest_point(tmap, q, v_in, 5.0, BUDGET)
         assert not np.asarray(v_t)[1::2].any()
 
-    def test_gicp_payloads_match(self):
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
+                             ids=["xla", "pallas"])
+    def test_gicp_payloads_match(self, budget):
         grid, tmap = make_maps(compute_point_cov=True, gicp_cov_search_dist=0.5)
         q = queries(256)
         v_in = jnp.ones(q.shape[0], bool)
         t_h, c_h, m_h, v_h = hashgrid.query_nearest_point_cov(grid, q, 5.0)
         t_t, v_t, c_t, m_t = tiles.query_nearest_point(
-            tmap, q, v_in, 5.0, BUDGET, with_point_cov=True
+            tmap, q, v_in, 5.0, budget, with_point_cov=True
         )
         np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_h))
         sel = np.asarray(v_t)
@@ -71,12 +76,14 @@ class TestNearestPoint:
 
 
 class TestVoxelCov:
-    def test_matches_hash_grid(self):
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
+                             ids=["xla", "pallas"])
+    def test_matches_hash_grid(self, budget):
         grid, tmap = make_maps(compute_voxel_cov=True)
         q = queries()
         v_in = jnp.ones(q.shape[0], bool)
         c_h, m_h, v_h = hashgrid.query_nearest_voxel_cov(grid, q, 5.0)
-        c_t, m_t, v_t = tiles.query_nearest_voxel_cov(tmap, q, v_in, 5.0, BUDGET)
+        c_t, m_t, v_t = tiles.query_nearest_voxel_cov(tmap, q, v_in, 5.0, budget)
         np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_h))
         sel = np.asarray(v_t)
         np.testing.assert_allclose(
