@@ -172,27 +172,39 @@ def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
     )
 
 
-def _find_rotation(info: DeskewInfo, point_time):
-    """FindRotation (cpp:731-762): linear interpolation into the integrated
-    rotation arrays, with the reference's boundary conventions."""
-    # Order non-included samples out of the search window.
+def _find_rotation_batch(info: DeskewInfo, point_times):
+    """FindRotation (cpp:731-762) for all points at once, gather-free.
+
+    Per-point random access into the IMU arrays is the slowest pattern on TPU
+    (scalar-core gathers); instead the front/back samples and their times are
+    selected with one-hot matmuls on the MXU — [N,M] x [M,3] — which is both
+    exact (0/1 weights) and bandwidth-trivial.
+    """
     t_adj = jnp.where(
         info.imu_included,
         info.imu_time,
         jnp.where(info.imu_time < info.scan_cur, -jnp.inf, jnp.inf),
     )
-    front = jnp.searchsorted(t_adj, point_time, side="right")
+    front = jnp.searchsorted(t_adj, point_times, side="right")
     front = jnp.clip(front, info.first_idx, info.last_idx)
-    beyond = point_time > info.imu_time[front]
-    at_first = front == info.first_idx
     back = jnp.maximum(front - 1, info.first_idx)
-    tf_, tb = info.imu_time[front], info.imu_time[back]
-    denom = jnp.where(tf_ == tb, 1.0, tf_ - tb)
-    ratio_front = (point_time - tb) / denom
-    interp = (
-        info.imu_rot[front] * ratio_front + info.imu_rot[back] * (1.0 - ratio_front)
-    )
-    return jnp.where(beyond | at_first, info.imu_rot[front], interp)
+
+    m = info.imu_time.shape[0]
+    iota = jnp.arange(m, dtype=front.dtype)[None, :]
+    oh_f = (iota == front[:, None]).astype(info.imu_rot.dtype)   # [N,M]
+    oh_b = (iota == back[:, None]).astype(info.imu_rot.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    t_f = jnp.matmul(oh_f, info.imu_time, precision=hi)
+    t_b = jnp.matmul(oh_b, info.imu_time, precision=hi)
+    rot_f = jnp.matmul(oh_f, info.imu_rot, precision=hi)         # [N,3]
+    rot_b = jnp.matmul(oh_b, info.imu_rot, precision=hi)
+
+    beyond = point_times > t_f
+    at_first = front == info.first_idx
+    denom = jnp.where(t_f == t_b, 1.0, t_f - t_b)
+    ratio = ((point_times - t_b) / denom)[:, None]
+    interp = rot_f * ratio + rot_b * (1.0 - ratio)
+    return jnp.where((beyond | at_first)[:, None], rot_f, interp)
 
 
 def deskew_points(points, rel_times, valid, info: DeskewInfo, *,
@@ -209,7 +221,7 @@ def deskew_points(points, rel_times, valid, info: DeskewInfo, *,
     rot_end = info.imu_rot[info.last_idx]
     point_time = info.scan_cur + rel_times
 
-    rot_cur = jax.vmap(lambda t: _find_rotation(info, t))(point_time)
+    rot_cur = _find_rotation_batch(info, point_time)
 
     span = info.scan_end - info.scan_cur
     ratio = rel_times / jnp.where(span == 0, 1.0, span)

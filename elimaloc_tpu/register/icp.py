@@ -187,9 +187,39 @@ def _step_transform(x):
 
 def _smallest_eigvec(covs):
     """Unit eigenvector of the smallest eigenvalue for [N,3,3] symmetric
-    matrices (cpp:88-95 uses SelfAdjointEigenSolver; eigh is ascending)."""
-    _, vecs = jnp.linalg.eigh(covs)
-    return vecs[..., :, 0]
+    matrices (cpp:88-95 uses SelfAdjointEigenSolver's first column).
+
+    Closed form (trigonometric eigenvalues + null-space cross products):
+    jnp.linalg.eigh costs ~27 ms for 8k matrices on v5e, this runs on the VPU
+    in microseconds. Sign and the fully-degenerate case may differ from eigh;
+    the consumer only uses |r . n|."""
+    a = covs
+    q = jnp.trace(a, axis1=-2, axis2=-1) / 3.0
+    eye = jnp.eye(3, dtype=a.dtype)
+    b = a - q[..., None, None] * eye
+    p2 = jnp.sum(b * b, axis=(-2, -1)) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    bn = b / p[..., None, None]
+    det = (
+        bn[..., 0, 0] * (bn[..., 1, 1] * bn[..., 2, 2] - bn[..., 1, 2] * bn[..., 2, 1])
+        - bn[..., 0, 1] * (bn[..., 1, 0] * bn[..., 2, 2] - bn[..., 1, 2] * bn[..., 2, 0])
+        + bn[..., 0, 2] * (bn[..., 1, 0] * bn[..., 2, 1] - bn[..., 1, 1] * bn[..., 2, 0])
+    )
+    r = jnp.clip(det / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    c = a - lam_min[..., None, None] * eye
+    r0, r1, r2 = c[..., 0, :], c[..., 1, :], c[..., 2, :]
+    cands = jnp.stack(
+        [jnp.cross(r0, r1), jnp.cross(r0, r2), jnp.cross(r1, r2)], axis=-2
+    )
+    norms = jnp.linalg.norm(cands, axis=-1)
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    n = jnp.linalg.norm(v, axis=-1, keepdims=True)
+    fallback = jnp.zeros_like(v).at[..., 2].set(1.0)
+    return jnp.where(n > 1e-20, v / jnp.maximum(n, 1e-30), fallback)
 
 
 def radar_point_cov(points, params: IcpParams):
