@@ -125,6 +125,16 @@ def _plane_regularized_cov(pts: np.ndarray):
     return mean, cov
 
 
+def _plane_regularize_batch(covs: np.ndarray) -> np.ndarray:
+    """Batched SVD plane regularization: U diag(1,1,1e-3) V^T per matrix."""
+    if covs.shape[0] == 0:
+        return covs
+    u, _, vt = np.linalg.svd(covs)
+    return np.einsum(
+        "nij,j,njk->nik", u, np.array([1.0, 1.0, 1e-3]), vt
+    )
+
+
 def build_voxel_map(
     points: np.ndarray,
     voxel_size: float,
@@ -170,17 +180,21 @@ def build_voxel_map(
     # mixing precisions would make stored cov inconsistent with stored points).
     pts_block = pts_block.astype(np.float32).astype(np.float64)
 
-    # --- Per-voxel covariance (VGICP/AVGICP precompute) ---
-    vox_mean = np.zeros((v, 3), dtype=np.float64)
+    # --- Per-voxel covariance (VGICP/AVGICP precompute), vectorized ---
+    slot_mask = np.arange(m)[None, :] < counts[:, None]
+    safe_cnt = np.maximum(counts, 1)
+    masked = np.where(slot_mask[:, :, None], pts_block, 0.0)
+    vox_mean = masked.sum(axis=1) / safe_cnt[:, None]
     vox_cov = np.tile(np.eye(3), (v, 1, 1))
     if compute_voxel_cov:
-        for i in range(v):
-            vox_mean[i], vox_cov[i] = _plane_regularized_cov(pts_block[i, : counts[i]])
-    else:
-        # CalVoxelCov's n==1 convention: mean = the point, cov = identity.
-        for i in range(v):
-            if counts[i] > 0:
-                vox_mean[i] = pts_block[i, : counts[i]].mean(axis=0)
+        centered = np.where(
+            slot_mask[:, :, None], pts_block - vox_mean[:, None, :], 0.0
+        )
+        raw = np.einsum("vmi,vmj->vij", centered, centered) / np.maximum(
+            counts - 1, 1
+        )[:, None, None]
+        multi = counts > 1
+        vox_cov[multi] = _plane_regularize_batch(raw[multi])
 
     # --- Hash table with bounded probe length ---
     table, table_fp, table_size, max_probe = _build_table(
@@ -297,12 +311,86 @@ def _build_table(vox_coords, load_factor, probe_limit):
         table_size <<= 1  # too clustered: grow and retry
 
 
-def _point_cov_all(built: BuiltMap, search_dist: float):
+def _point_cov_all(built: BuiltMap, search_dist: float, chunk: int = 4096):
     """Per-point covariance over neighbors in the 27-voxel neighborhood
-    (reference: ProcessVoxelBlock/CalPointCovAll, hpp:195-257).
+    (reference: ProcessVoxelBlock/CalPointCovAll, hpp:195-257), vectorized.
 
     Reference quirk kept: the query point seeds the neighbor list AND is found
     again during the voxel sweep (distance 0), so it is counted twice."""
+    v, m = built.counts.shape[0], built.max_points_per_voxel
+    d2_max = search_dist * search_dist
+
+    # windowed-probe lookup over the already-built table
+    p = built.max_probe
+    table_ext = np.concatenate([built.table, built.table[:p]])
+    fp_ext = np.concatenate([built.table_fp, built.table_fp[:p]])
+    offsets = np.array(
+        [[i, j, k] for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+        dtype=np.int64,
+    )
+
+    def lookup(coords):
+        h = hash_coords(coords, built.table_size)
+        fp = fingerprint_coords(coords)
+        idx = h[..., None] + np.arange(p)
+        rows = table_ext[idx]
+        fps = fp_ext[idx]
+        empty = rows < 0
+        empty_before = np.cumsum(empty, axis=-1) - empty > 0
+        hit = (fps == fp[..., None]) & ~empty & ~empty_before
+        any_hit = hit.any(axis=-1)
+        first = hit.argmax(axis=-1)
+        row = np.take_along_axis(rows, first[..., None], axis=-1)[..., 0]
+        return np.where(any_hit, row, v)  # v = sentinel row below
+
+    pts_pad = np.concatenate(
+        [np.where(np.isfinite(built.points), built.points, np.inf),
+         np.full((1, m, 3), np.inf, np.float32)],
+        axis=0,
+    ).astype(np.float64)
+
+    slot_mask = np.arange(m)[None, :] < built.counts[:, None]
+    flat_pts = built.points[slot_mask].astype(np.float64)          # [P,3]
+    flat_vox = np.repeat(np.arange(v), m).reshape(v, m)[slot_mask]  # [P]
+    n_pts = len(flat_pts)
+
+    means = np.zeros((n_pts, 3))
+    covs = np.tile(np.eye(3), (n_pts, 1, 1))
+    for s0 in range(0, n_pts, chunk):
+        sl = slice(s0, min(s0 + chunk, n_pts))
+        q = flat_pts[sl]                                           # [C,3]
+        nb = built.vox_coords[flat_vox[sl]].astype(np.int64)[:, None, :] + offsets
+        rows = lookup(nb)                                          # [C,27]
+        cand = pts_pad[rows].reshape(len(q), -1, 3)                # [C,27m,3]
+        diff = cand - q[:, None, :]
+        d2 = np.einsum("cki,cki->ck", diff, diff)
+        keep = np.isfinite(d2) & (d2 <= d2_max)
+        cand0 = np.where(keep[:, :, None], cand, 0.0)
+        # the self point appears once in cand (d=0) and once as the seed
+        cnt = keep.sum(axis=1) + 1
+        mean = (cand0.sum(axis=1) + q) / cnt[:, None]
+        cen = np.where(keep[:, :, None], cand - mean[:, None, :], 0.0)
+        qc = q - mean
+        raw = (
+            np.einsum("cki,ckj->cij", cen, cen)
+            + np.einsum("ci,cj->cij", qc, qc)
+        ) / np.maximum(cnt - 1, 1)[:, None, None]
+        multi = cnt > 1
+        reg = covs[sl]
+        reg[multi] = _plane_regularize_batch(raw[multi])
+        covs[sl] = reg
+        mean_out = np.where(multi[:, None], mean, q)
+        means[sl] = mean_out
+
+    point_cov = np.tile(np.eye(3, dtype=np.float32), (v, m, 1, 1))
+    point_cov_mean = np.zeros((v, m, 3), np.float32)
+    point_cov[slot_mask] = covs.astype(np.float32)
+    point_cov_mean[slot_mask] = means.astype(np.float32)
+    return point_cov, point_cov_mean
+
+
+def _point_cov_all_loop(built: BuiltMap, search_dist: float):
+    """Original per-voxel Python-loop implementation (kept as an oracle)."""
     v, m = built.counts.shape[0], built.max_points_per_voxel
     d2_max = search_dist * search_dist
     coord_to_row = {tuple(c): i for i, c in enumerate(built.vox_coords)}
