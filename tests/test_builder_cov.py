@@ -26,20 +26,14 @@ def test_vectorized_point_cov_matches_loop():
 
     np.testing.assert_allclose(pm_v, pm_l, atol=1e-5)
 
-    ev_v = np.linalg.eigvalsh(pc_v.reshape(-1, 3, 3).astype(np.float64))
-    ev_l = np.linalg.eigvalsh(pc_l.reshape(-1, 3, 3).astype(np.float64))
-    np.testing.assert_allclose(ev_v, ev_l, atol=1e-4)
-
-    # Full-matrix agreement wherever the raw spectrum is non-degenerate:
-    # use the loop result's own eigen separation as the conditioning probe.
+    # On rank-deficient neighbor sets (2 neighbors -> rank-1 raw covariance)
+    # LAPACK's U and V differ arbitrarily in the null space, so
+    # U diag(1,1,1e-3) V^T is an arbitrary ASYMMETRIC matrix — in the
+    # reference's Eigen::JacobiSVD exactly as here. Only well-conditioned
+    # rows (near-symmetric outputs) are comparable.
     mask = np.arange(built.max_points_per_voxel)[None, :] < built.counts[:, None]
-    sep = []
-    for vi in range(built.counts.shape[0]):
-        for mi in range(built.counts[vi]):
-            sep.append((vi, mi))
-    diffs = np.abs(pc_v - pc_l).max(axis=(2, 3))[mask]
-    # eigenvalues of the REGULARIZED matrices are always (1,1,1e-3); raw
-    # conditioning must come from the neighbor geometry. Random uniform
-    # neighbors are well-conditioned for the vast majority of points:
-    frac_exact = float((diffs < 1e-4).mean())
-    assert frac_exact > 0.9, f"only {frac_exact:.2%} matched exactly"
+    pv = pc_v[mask].astype(np.float64)
+    pl = pc_l[mask].astype(np.float64)
+    sym = np.abs(pl - np.swapaxes(pl, 1, 2)).max(axis=(1, 2)) < 1e-4
+    assert sym.mean() > 0.85, f"too many degenerate rows: {1 - sym.mean():.2%}"
+    np.testing.assert_allclose(pv[sym], pl[sym], atol=1e-4)
