@@ -32,11 +32,14 @@ class IcpMethod(IntEnum):
 
 
 class GpsType(IntEnum):
-    """reference: ekf_localization_config.hpp (gps_type ini key)"""
+    """reference: ekf_localization_config.hpp:18 — note the header enum
+    ordering (NAVSATFIX=0) contradicts the ini comment ("0: INSPVAX,
+    1: BESTPOS, 2: NavSatFix", localization.ini:30); the code uses the
+    header, so the shipped ini value 2 actually selects ODOMETRY."""
 
-    ODOMETRY = 0
+    NAVSATFIX = 0
     BESTPOS = 1
-    NAVSATFIX = 2
+    ODOMETRY = 2
 
 
 class GnssSource(IntEnum):

@@ -99,6 +99,8 @@ class PipelineStatic:
     use_gps: bool = False
     use_can: bool = False
     use_pcm: bool = True
+    use_imu: bool = True
+    tick_hz: float = 100.0  # CA-prediction rate when use_imu is off
 
 
 def make_pipeline_params(cfg: ElimalocConfig, dtype=jnp.float32) -> PipelineParams:
@@ -141,6 +143,7 @@ def make_pipeline_static(cfg: ElimalocConfig, backend: str = "tile",
         use_gps=cfg.ekf.use_gps,
         use_can=cfg.ekf.use_can,
         use_pcm=cfg.ekf.use_pcm_matching,
+        use_imu=cfg.ekf.use_imu,
     )
 
 
@@ -181,16 +184,27 @@ def imu_step(state: PipelineState, t, acc_raw, gyro_raw,
 
 def gps_step(state: PipelineState, t, pos, cov_diag,
              pp: PipelineParams, ps: PipelineStatic) -> PipelineState:
-    """NavSatFix update (position-only 3-DOF path inside update_gnss)."""
+    """GPS fix update. The measurement source follows the configured
+    gps_type (NAVSATFIX / BESTPOS take the position-only 3-DOF path inside
+    update_gnss with antenna-offset inflation; ODOMETRY maps to the NOVATEL
+    6-DOF source — its subscriber is dead code in the reference,
+    ekf_localization.cpp:49-51, but the filter path exists)."""
     if not ps.use_gps:
         return state
+    from ..config import GpsType
+
+    src = {
+        int(GpsType.NAVSATFIX): GnssSource.NAVSATFIX,
+        int(GpsType.BESTPOS): GnssSource.BESTPOS,
+        int(GpsType.ODOMETRY): GnssSource.NOVATEL,
+    }[ps.ekf_flags.gps_type]
     # Reference quirk: the NavSatFix covariance field is squared again
     # (ekf_localization.cpp:104-106).
     var = cov_diag * cov_diag
     ok = (var[0] <= pp.gnss_uncertainty_max) & (var[1] <= pp.gnss_uncertainty_max)
     meas = GnssMeas(
         timestamp=t,
-        source=jnp.asarray(int(GnssSource.NAVSATFIX)),
+        source=jnp.asarray(int(src)),
         pos=pos,
         rot=lie.quat_identity(pos.dtype),
         pos_cov=jnp.diag(var),
@@ -198,6 +212,29 @@ def gps_step(state: PipelineState, t, pos, cov_diag,
     )
     ekf = update_gnss(state.ekf, meas, pp.ekf, ps.ekf_flags)
     return _select_state(ok, state.replace(ekf=ekf), state)
+
+
+def imu_ring_step(state: PipelineState, t, acc_raw, gyro_raw,
+                  pp: PipelineParams, ps: PipelineStatic) -> PipelineState:
+    """PCM-side IMU intake only (no EKF prediction): when use_imu is off the
+    matching node still consumes IMU for deskewing (the reference's PCM node
+    subscribes IMU independently, pcm_matching.cpp:39, 326-336)."""
+    gyro_pcm = pp.ego_to_imu_rot @ gyro_raw
+    acc_pcm = pp.ego_to_imu_rot @ acc_raw
+    return state.replace(
+        imu_ring=rings.push_imu(state.imu_ring, t, gyro_pcm, acc_pcm)
+    )
+
+
+def tick_step(state: PipelineState, t, pp: PipelineParams,
+              ps: PipelineStatic) -> PipelineState:
+    """System-clock CA prediction tick for use_imu=False mode (the
+    reference's 100 Hz MainLoop -> RunPrediction, ekf_localization.cpp:
+    206-216, 660-676)."""
+    from ..ekf import predict
+
+    ekf = predict(state.ekf, t, pp.ekf)
+    return _push_ego(state.replace(ekf=ekf))
 
 
 def can_step(state: PipelineState, t, vel_x, yaw_rate,
@@ -497,6 +534,9 @@ class LocalizationPipeline:
         self._imu_ring_size = imu_ring_size
         self.time_base = None
 
+        self._build_jitted()
+
+    def _build_jitted(self):
         self._imu_step = jax.jit(
             functools.partial(imu_step, pp=self.params, ps=self.static)
         )
@@ -512,6 +552,12 @@ class LocalizationPipeline:
         )
         self._pcm_init_step = jax.jit(
             functools.partial(pcm_init_step, pp=self.params, ps=self.static)
+        )
+        self._tick_step = jax.jit(
+            functools.partial(tick_step, pp=self.params, ps=self.static)
+        )
+        self._imu_ring_step = jax.jit(
+            functools.partial(imu_ring_step, pp=self.params, ps=self.static)
         )
         # One persistent jitted fused-replay callable: re-wrapping per call
         # would defeat the jit cache and recompile every run.
@@ -535,6 +581,26 @@ class LocalizationPipeline:
             ego_ring=rings.make_ego_ring(self._ego_ring_size, self.dtype),
             imu_ring=rings.make_imu_ring(self._imu_ring_size, self.dtype),
         )
+
+    def reload_config(self, cfg: ElimalocConfig) -> None:
+        """Hot-reload (the reference's ProcessINI + UpdateDynamicConfig,
+        ekf_localization.cpp:218-320 / ekf_algorithm.cpp:68-79): continuous
+        parameters swap in without recompilation (they are pytree leaves);
+        changed feature flags produce a new PipelineStatic and re-jit (the
+        compile cache keeps previously-seen configurations warm)."""
+        self.cfg = cfg
+        old_static = self.static
+        self.params = make_pipeline_params(cfg, dtype=self.dtype)
+        self.static = dataclasses.replace(
+            make_pipeline_static(
+                cfg,
+                backend=old_static.icp_static.backend,
+                tile_budget=old_static.icp_static.tile_budget,
+                ds_points=old_static.ds_points,
+                bug_compat_deskew_z=old_static.bug_compat_deskew_z,
+            )
+        )
+        self._build_jitted()
 
     def project_gps(self, lat, lon, height):
         """lat/lon/h -> local ENU using the configured geodetic origin
@@ -582,7 +648,20 @@ class LocalizationPipeline:
         base_candidates = [log.imu_t[0], log.scan_t[0]]
         self._rebase(min(base_candidates))
         events = []
-        events += [("imu", i, t) for i, t in enumerate(self._rebase(log.imu_t))]
+        if self.static.use_imu:
+            events += [
+                ("imu", i, t) for i, t in enumerate(self._rebase(log.imu_t))
+            ]
+        else:
+            # the reference's 100 Hz MainLoop drives CA predictions; the PCM
+            # node still consumes raw IMU for deskewing
+            events += [
+                ("pcm_imu", i, t) for i, t in enumerate(self._rebase(log.imu_t))
+            ]
+            t0r = float(self._rebase(log.imu_t[0]))
+            t1r = float(self._rebase(log.imu_t[-1]))
+            ticks = np.arange(t0r, t1r, 1.0 / self.static.tick_hz)
+            events += [("tick", i, t) for i, t in enumerate(ticks)]
         events += [("scan", i, t) for i, t in enumerate(self._rebase(log.scan_t))]
         if log.gps_t is not None and self.static.use_gps:
             events += [("gps", i, t) for i, t in enumerate(self._rebase(log.gps_t))]
@@ -594,7 +673,14 @@ class LocalizationPipeline:
         f = self.dtype
         for kind, i, t in events:
             tv = jnp.asarray(t, f)
-            if kind == "imu":
+            if kind == "tick":
+                state = self._tick_step(state, tv)
+            elif kind == "pcm_imu":
+                state = self._imu_ring_step(
+                    state, tv, jnp.asarray(log.imu_acc[i], f),
+                    jnp.asarray(log.imu_gyro[i], f),
+                )
+            elif kind == "imu":
                 state = self._imu_step(
                     state, tv, jnp.asarray(log.imu_acc[i], f),
                     jnp.asarray(log.imu_gyro[i], f),

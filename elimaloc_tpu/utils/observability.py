@@ -24,7 +24,7 @@ def state_dashboard(state: EkfState, cfg=None) -> str:
     r2d = 180.0 / math.pi
     lines = ["-" * 40]
     if cfg is not None:
-        gps = {0: "Odometry", 1: "BESTPOS", 2: "NavSatFix"}.get(int(cfg.gps_type), "?")
+        gps = {0: "NavSatFix", 1: "BESTPOS", 2: "Odometry"}.get(int(cfg.gps_type), "?")
         lines.append(
             f"GPS: {gps if cfg.use_gps else 'X'}, "
             f"CAN: {'O' if cfg.use_can else 'X'}, "

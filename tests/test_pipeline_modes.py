@@ -1,0 +1,108 @@
+"""Pipeline mode coverage: GPS fusion, non-IMU tick mode, hot reload."""
+
+import copy
+
+import jax.numpy as jnp
+import numpy as np
+
+from elimaloc_tpu.config import ElimalocConfig, GpsType, IcpMethod
+from elimaloc_tpu.map import TileQueryBudget
+from elimaloc_tpu.pipeline import (
+    LocalizationPipeline,
+    ate_rmse,
+    make_world,
+    synthesize_log,
+)
+
+
+def tiny_pipe(gps_hz=1.0, duration=3.0, **ekf_overrides):
+    world = make_world(seed=9, extent=70.0, n_ground=60_000, n_wall=30_000)
+    log = synthesize_log(
+        world, duration=duration, points_per_scan=1024, max_range=50.0,
+        seed=10, gps_hz=gps_hz,
+    )
+    cfg = ElimalocConfig()
+    cfg.pcm.icp_method = IcpMethod.P2P
+    cfg.pcm.input_voxel_ds_m = 1.0
+    cfg.pcm.lidar_time_delay = 0.0
+    cfg.ekf.ekf_init_x_m = 60.0
+    cfg.ekf.ekf_init_yaw_deg = 90.0
+    cfg.calib.ego_to_lidar_trans = (0.0, 0.0, 0.0)
+    cfg.calib.ego_to_lidar_rot_deg = (0.0, 0.0, 0.0)
+    for k, v in ekf_overrides.items():
+        setattr(cfg.ekf, k, v)
+    pipe = LocalizationPipeline(
+        cfg, world, ds_points=1024,
+        tile_budget=TileQueryBudget(qb=8, max_slots=1024),
+        use_native=False, ego_ring_size=128, imu_ring_size=128,
+    )
+    return pipe, log
+
+
+class TestGpsFusion:
+    def test_navsatfix_fuses_with_pcm(self):
+        # GPS-only is a degenerate config in the reference too: NavSatFix
+        # carries no yaw, so the filter never passes CheckStateInitialized
+        # and predictions stay blocked (yaw comes from PCM or the dead
+        # BESTVEL path). Fuse GPS alongside PCM instead and require that the
+        # extra (noisy, min-cov-inflated) fixes do not degrade tracking.
+        pipe, log = tiny_pipe(gps_hz=10.0, use_gps=True,
+                              gps_type=GpsType.NAVSATFIX)
+        state, traj = pipe.run(log)
+        tail = traj["t"] > log.scan_t[0] + 2.0
+        ate = ate_rmse(traj["t"][tail], traj["pos"][tail],
+                       log.truth_t, log.truth_pos)
+        assert ate < 0.5, f"GPS+PCM ATE {ate}"
+
+    def test_bestpos_source_flows(self):
+        pipe, log = tiny_pipe(use_gps=True, gps_type=GpsType.BESTPOS)
+        state = pipe.reset()
+        t = jnp.float32(0.5)
+        s2 = pipe._gps_step(
+            state, t, jnp.asarray([60.0, 0.1, 0.0], jnp.float32),
+            jnp.asarray([0.3, 0.3, 0.3], jnp.float32),
+        )
+        # an accepted 3-DOF update shrinks the position covariance
+        assert float(s2.ekf.P[0, 0]) < float(state.ekf.P[0, 0])
+
+    def test_gate_rejects_uncertain_fix(self):
+        pipe, log = tiny_pipe(use_gps=True, gnss_uncertainty_max_m=0.5)
+        state = pipe.reset()
+        s2 = pipe._gps_step(
+            state, jnp.float32(0.5), jnp.asarray([60.0, 0.0, 0.0], jnp.float32),
+            jnp.asarray([5.0, 5.0, 5.0], jnp.float32),  # squared -> 25 > 0.5
+        )
+        np.testing.assert_array_equal(np.asarray(s2.ekf.P), np.asarray(state.ekf.P))
+
+
+def test_tick_mode_without_imu():
+    pipe, log = tiny_pipe(use_imu=False)
+    assert pipe.static.use_imu is False
+    state, traj = pipe.run(log)
+    # CA-model predictions + PCM updates still localize coarsely.
+    tail = traj["t"] > log.scan_t[0] + 2.0
+    ate = ate_rmse(traj["t"][tail], traj["pos"][tail],
+                   log.truth_t, log.truth_pos)
+    assert ate < 2.0, f"tick-mode ATE {ate}"
+
+
+def test_reload_config_swaps_params_without_losing_state():
+    pipe, log = tiny_pipe()
+    state = pipe.reset()
+    state = pipe._imu_step(
+        state, jnp.float32(0.01), jnp.asarray([0.0, 0, 9.81], jnp.float32),
+        jnp.zeros(3, jnp.float32),
+    )
+    old_max = float(pipe.params.icp.max_search_dist)
+    cfg2 = copy.deepcopy(pipe.cfg)
+    cfg2.pcm.max_search_dist = 2.5
+    cfg2.ekf.use_zupt = True  # static flag change -> re-jit
+    pipe.reload_config(cfg2)
+    assert float(pipe.params.icp.max_search_dist) == 2.5 != old_max
+    assert pipe.static.ekf_flags.use_zupt is True
+    # state pytree remains valid with the new handlers
+    state = pipe._imu_step(
+        state, jnp.float32(0.02), jnp.asarray([0.0, 0, 9.81], jnp.float32),
+        jnp.zeros(3, jnp.float32),
+    )
+    assert np.isfinite(np.asarray(state.ekf.P)).all()
