@@ -66,6 +66,10 @@ class EkfFlags:
     imu_estimate_gravity: bool = True
     imu_estimate_calibration: bool = False
     gps_type: int = int(GpsType.NAVSATFIX)
+    # Joseph-form covariance update (I-KH)P(I-KH)^T + KRK^T instead of the
+    # reference's plain P -= KHP (ekf_algorithm.hpp:144). Off by default for
+    # parity; recommended for long float32 runs (keeps P symmetric PSD).
+    joseph_form: bool = False
 
     @classmethod
     def from_config(cls, cfg: EkfConfig) -> "EkfFlags":
@@ -185,7 +189,8 @@ def check_state_stabilized(P):
 # Generic measurement injection (ekf_algorithm.hpp:116-145)
 # --------------------------------------------------------------------------- #
 
-def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R):
+def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
+                            joseph: bool = False):
     """One Kalman update where H is a 0/1 selector of state indices ``idx``
     (true for every observation model in the reference). Returns the updated
     nominal state pieces and P; caller applies masking."""
@@ -196,7 +201,13 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R):
     PHt = P[:, idx_a]                   # [27,m]
     K = jnp.linalg.solve(S.T, PHt.T).T  # K = P H^T S^-1
     su = K @ Y                          # full-state additive update
-    P_new = P - K @ Pi                  # P -= K H P
+    if joseph:
+        # (I-KH)P(I-KH)^T + KRK^T with H a selector: KH = scatter of K's
+        # columns into the observed state columns.
+        ikh = jnp.eye(P.shape[0], dtype=P.dtype).at[:, idx_a].add(-K)
+        P_new = ikh @ P @ ikh.T + K @ R @ K.T
+    else:
+        P_new = P - K @ Pi              # P -= K H P (reference form)
 
     rot = lie.quat_normalize(
         lie.quat_mul(state.rot, lie.quat_from_axis_angle(su[3:6]))
@@ -367,7 +378,7 @@ def _complementary_filter(state: EkfState, imu: ImuMeas, params: EkfParams,
         )
     ).astype(state.P.dtype)
 
-    updated = _ekf_measurement_update(state, (S_ROLL, S_PITCH), innovation, R)
+    updated = _ekf_measurement_update(state, (S_ROLL, S_PITCH), innovation, R, joseph=flags.joseph_form)
     updated = updated.replace(
         cf_initialized=jnp.asarray(True),
         cf_prev_vel_local_x=vel_local[0],
@@ -383,7 +394,8 @@ def _complementary_filter(state: EkfState, imu: ImuMeas, params: EkfParams,
     return _select(run, updated, seeded)
 
 
-def _calibrate_vehicle_to_imu(state: EkfState, imu: ImuMeas) -> EkfState:
+def _calibrate_vehicle_to_imu(state: EkfState, imu: ImuMeas,
+                              joseph: bool = False) -> EkfState:
     """Online vehicle->IMU mounting calibration (cpp:703-776), masked."""
     run = (jnp.linalg.norm(state.vel) >= 3.0) & state.rotation_stabilized
 
@@ -402,7 +414,8 @@ def _calibrate_vehicle_to_imu(state: EkfState, imu: ImuMeas) -> EkfState:
     R = jnp.eye(3, dtype=state.P.dtype) * (1.0 * _D2R) ** 2
 
     updated = _ekf_measurement_update(
-        state, (S_IMU_ROLL, S_IMU_ROLL + 1, S_IMU_ROLL + 2), innovation, R
+        state, (S_IMU_ROLL, S_IMU_ROLL + 1, S_IMU_ROLL + 2), innovation, R,
+        joseph=joseph,
     )
     updated = updated.replace(vehicle_imu_calib_started=jnp.asarray(True))
     return _select(run, updated, state)
@@ -443,7 +456,7 @@ def predict_imu(state: EkfState, imu: ImuMeas, params: EkfParams,
         state = _select(cf_mask, _complementary_filter(state, imu, params, flags), state)
 
     if flags.imu_estimate_calibration:
-        state = _select(do_predict, _calibrate_vehicle_to_imu(state, imu), state)
+        state = _select(do_predict, _calibrate_vehicle_to_imu(state, imu, flags.joseph_form), state)
 
     prev_ts = jnp.where(gate_early | (~initialized) | do_predict, t, state.prev_timestamp)
     return state.replace(
@@ -573,8 +586,10 @@ def update_gnss(state: EkfState, meas: GnssMeas, params: EkfParams,
     inflate = jnp.where(is_3dof & (~st.yaw_initialized), 3.0, 0.0)
     R3 = R6[:3, :3] + jnp.diag(jnp.stack([inflate, inflate, jnp.zeros_like(inflate)]))
 
-    upd6 = _ekf_measurement_update(st, tuple(range(6)), Y6, R6)
-    upd3 = _ekf_measurement_update(st, (0, 1, 2), Y6[:3], R3)
+    upd6 = _ekf_measurement_update(st, tuple(range(6)), Y6, R6,
+                                   joseph=flags.joseph_form)
+    upd3 = _ekf_measurement_update(st, (0, 1, 2), Y6[:3], R3,
+                                   joseph=flags.joseph_form)
     updated = _select(is_3dof, upd3, upd6)
 
     out = _select(is_init, reset_state, updated)
@@ -613,7 +628,10 @@ def update_can(state: EkfState, can: CanMeas, params: EkfParams,
     R = R.at[:3, :3].set(rot_m @ R_local @ rot_m.T)
     R = R.at[3, 3].set(params.can_meas_uncertainty_yaw_rate_rad.astype(dtype) ** 2)
 
-    updated = _ekf_measurement_update(state, (S_VX, S_VX + 1, S_VZ, S_YAW_RATE), Y, R)
+    updated = _ekf_measurement_update(
+        state, (S_VX, S_VX + 1, S_VZ, S_YAW_RATE), Y, R,
+        joseph=flags.joseph_form,
+    )
     updated = updated.replace(prev_can_timestamp=can.timestamp)
 
     # ZuptCan (cpp:567-587) runs on the raw (biased) input after the update.

@@ -632,3 +632,30 @@ def _query_nearest_voxel_cov_pallas(tmap: TileMap, queries, valid, max_dist,
     cov = jnp.where(ok_n[:, None, None], cov, eye)
     mean = jnp.where(ok_n[:, None], mean_n, queries)
     return cov, mean, ok_n
+
+
+def _query_all_voxel_cov_pallas(tmap: TileMap, queries, valid, max_dist,
+                                budget: TileQueryBudget):
+    from ..pallas.corr_kernels import all_voxel_cov_pallas
+
+    if tmap.tile_vox_mean_t is None:
+        raise ValueError("map built without for_pallas=True")
+    n = queries.shape[0]
+    asg = assign_slots(tmap, queries, valid, budget)
+    mean, cov9, found = all_voxel_cov_pallas(
+        tmap, asg.qbuf.astype(jnp.float32), asg.qvox, asg.slot_tile
+    )
+    d2 = jnp.sum((mean - asg.qbuf[:, :, None, :]) ** 2, axis=-1)
+    ok = asg.qmask[:, :, None] & (found > 0.5) & (d2 < max_dist * max_dist)
+    out = _scatter_back(
+        n, asg.qidx,
+        (jnp.eye(3, dtype=queries.dtype).reshape(9), cov9.astype(queries.dtype)),
+        (jnp.zeros(3, dtype=queries.dtype), mean.astype(queries.dtype)),
+        (jnp.zeros(7, dtype=bool), ok),
+    )
+    cov9_n, mean_n, ok_n = out
+    cov = cov9_n.reshape(n, 7, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
+    cov = jnp.where(ok_n[..., None, None], cov, eye)
+    mean = jnp.where(ok_n[..., None], mean_n, queries[:, None, :])
+    return cov, mean, ok_n

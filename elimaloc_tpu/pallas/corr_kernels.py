@@ -295,3 +295,110 @@ def nearest_voxel_cov_pallas(tmap, qbuf, qvox, slot_tile):
       *([tmap.tile_vox_mean_t] * 9), *([tmap.tile_vox_coord_t] * 9),
       *([tmap.tile_vox_cov_t] * 9))
     return mean, cov, d2[:, 0]
+
+
+# --------------------------------------------------------------------------- #
+# AVGICP: all 7 face-adjacent voxel covariances per query
+# --------------------------------------------------------------------------- #
+
+_OFF7 = (
+    (0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+    (0, 0, -1),
+)
+
+
+def _all_voxel_kernel(meta, tile_ref, qbuf_ref, qvox_ref, *refs):
+    voxel_size, tile_size, tx0, ty0, ty_dim = meta
+    mean_refs = refs[:9]
+    coord_refs = refs[9:18]
+    cov_refs = refs[18:27]
+    mean_out, cov_out, found_out = refs[27:]
+    i = pl.program_id(0)
+    q = qbuf_ref[0]
+    qv = qvox_ref[0]
+    qb = q.shape[0]
+
+    acc_mean = jnp.zeros((qb, 7, 3), jnp.float32)
+    acc_cov = jnp.zeros((qb, 7, 9), jnp.float32)
+    acc_found = jnp.zeros((qb, 7), jnp.float32)
+    for k in range(9):
+        means = mean_refs[k][0]              # [3, Kp]
+        coords = coord_refs[k][0]            # [3, Kp]
+        covs = cov_refs[k][0]                # [9, Kp]
+        occupied = coords[0] != _COORD_SENTINEL
+        m_safe = jnp.where(occupied[None, :], means, 0.0)
+        for o, off in enumerate(_OFF7):
+            eq = occupied[None, :]
+            for d in range(3):
+                eq = eq & (coords[d][None, :] == (qv[:, d] + off[d])[:, None])
+            sel = eq.astype(jnp.float32)     # [QB, Kp]; coords unique -> 0/1 hit
+            acc_found = acc_found.at[:, o].add(jnp.sum(sel, axis=1))
+            for d in range(3):
+                acc_mean = acc_mean.at[:, o, d].add(
+                    jnp.sum(sel * m_safe[d][None, :], axis=1)
+                )
+            for j in range(9):
+                acc_cov = acc_cov.at[:, o, j].add(
+                    jnp.sum(sel * covs[j][None, :], axis=1)
+                )
+
+    mean_out[0] = acc_mean
+    cov_out[0] = acc_cov
+    found_out[0] = acc_found
+
+
+def all_voxel_cov_pallas(tmap, qbuf, qvox, slot_tile):
+    """AVGICP: the 7 face-adjacent voxels per query (exact-coordinate match
+    over the streamed candidate blocks). Returns
+    (mean [S,QB,7,3], cov [S,QB,7,9], found [S,QB,7])."""
+    s, qb, _ = qbuf.shape
+    kp = tmap.tile_vox_mean_t.shape[2]
+    sentinel = tmap.sentinel
+    nbr_map = functools.partial(
+        _neighbor_index_map, tx_dim=tmap.tx_dim, ty_dim=tmap.ty_dim,
+        sentinel=sentinel,
+    )
+    meta = (float(tmap.voxel_size), float(tmap.tile_size), tmap.tx0, tmap.ty0,
+            tmap.ty_dim)
+
+    def cand_spec(shape2):
+        return [
+            pl.BlockSpec(
+                (1,) + shape2,
+                functools.partial(lambda i, t, kk: (nbr_map(i, kk, t), 0, 0), kk=k),
+                memory_space=pltpu.VMEM,
+            )
+            for k in range(9)
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, qb, 3), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 3), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + cand_spec((3, kp)) + cand_spec((3, kp)) + cand_spec((9, kp)),
+        out_specs=[
+            pl.BlockSpec((1, qb, 7, 3), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 7, 9), lambda i, t: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, qb, 7), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    mean, cov, found = pl.pallas_call(
+        functools.partial(_all_voxel_kernel, meta),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        out_shape=[
+            jax.ShapeDtypeStruct((s, qb, 7, 3), jnp.float32),
+            jax.ShapeDtypeStruct((s, qb, 7, 9), jnp.float32),
+            jax.ShapeDtypeStruct((s, qb, 7), jnp.float32),
+        ],
+    )(slot_tile, qbuf, qvox,
+      *([tmap.tile_vox_mean_t] * 9), *([tmap.tile_vox_coord_t] * 9),
+      *([tmap.tile_vox_cov_t] * 9))
+    return mean, cov, found

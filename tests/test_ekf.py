@@ -374,3 +374,50 @@ def test_ego_state_output():
         np.abs(ref.global_to_local_velocity(np.diag(nd["P"])[:3], rpy)),
         atol=1e-9,
     )
+
+
+class TestJosephForm:
+    def test_long_f32_run_stays_symmetric_psd(self):
+        cfg = EkfConfig(use_complementary_filter=False)
+        flags_j = EkfFlags.from_config(cfg)
+        flags_j = __import__("dataclasses").replace(flags_j, joseph_form=True)
+        params32 = make_params(cfg, dtype=jnp.float32)
+        s = init_state(params32, dtype=jnp.float32)
+        s = s.replace(
+            reset_for_init_prediction=jnp.asarray(False),
+            state_initialized=jnp.asarray(True),
+            yaw_initialized=jnp.asarray(True),
+            prev_timestamp=jnp.float32(0.0),
+        )
+        rng = np.random.default_rng(2)
+        pred = jax.jit(predict_imu, static_argnums=3)
+        upd = jax.jit(update_gnss, static_argnums=3)
+        for k in range(1, 401):
+            t = jnp.float32(0.01 * k)
+            imu = ImuMeas(t, jnp.asarray(rng.normal(0, 0.02, 3) + [0, 0, 9.81],
+                                         jnp.float32),
+                          jnp.asarray(rng.normal(0, 0.002, 3), jnp.float32))
+            s = pred(s, imu, params32, flags_j)
+            if k % 10 == 0:
+                meas = GnssMeas(t, jnp.asarray(int(GnssSource.PCM)),
+                                jnp.zeros(3, jnp.float32),
+                                lie.quat_identity(jnp.float32),
+                                jnp.eye(3, dtype=jnp.float32) * 0.01,
+                                jnp.eye(3, dtype=jnp.float32) * 0.001)
+                s = upd(s, meas, params32, flags_j)
+        P = np.asarray(s.P, np.float64)
+        np.testing.assert_allclose(P, P.T, atol=1e-5)
+        assert np.linalg.eigvalsh(P).min() > -1e-6
+
+    def test_joseph_matches_reference_form_in_f64(self):
+        cfg = EkfConfig(use_complementary_filter=False)
+        flags_j = __import__("dataclasses").replace(FLAGS, joseph_form=True)
+        js, nd = randomize(fresh_state())
+        meas = GnssMeas(jnp.asarray(100.05), jnp.asarray(int(GnssSource.PCM)),
+                        js.pos + 0.01, js.rot,
+                        jnp.eye(3) * 0.01, jnp.eye(3) * 0.001)
+        a = update_gnss(js, meas, PARAMS, FLAGS)
+        b = update_gnss(js, meas, PARAMS, flags_j)
+        # identical in exact arithmetic; f64 keeps them very close
+        np.testing.assert_allclose(np.asarray(a.P), np.asarray(b.P), atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-12)

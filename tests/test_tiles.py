@@ -95,12 +95,14 @@ class TestVoxelCov:
 
 
 class TestAllVoxelCov:
-    def test_matches_hash_grid(self):
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
+                             ids=["xla", "pallas"])
+    def test_matches_hash_grid(self, budget):
         grid, tmap = make_maps(compute_voxel_cov=True)
         q = queries()
         v_in = jnp.ones(q.shape[0], bool)
         c_h, m_h, v_h = hashgrid.query_all_voxel_cov(grid, q, 5.0)
-        c_t, m_t, v_t = tiles.query_all_voxel_cov(tmap, q, v_in, 5.0, BUDGET)
+        c_t, m_t, v_t = tiles.query_all_voxel_cov(tmap, q, v_in, 5.0, budget)
         np.testing.assert_array_equal(np.asarray(v_t), np.asarray(v_h))
         sel = np.asarray(v_t)
         np.testing.assert_allclose(
