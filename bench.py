@@ -33,7 +33,7 @@ from elimaloc_tpu.reference_cpu import CpuVoxelGrid, cpu_scan_step
 RAW_POINTS = int(os.environ.get("BENCH_RAW_POINTS", 131072))
 INDEX_SAMPLING = 5          # reference: input_index_sampling (ini :88)
 N_SCANS = int(os.environ.get("BENCH_SCANS", 40))
-CPU_SCANS = int(os.environ.get("BENCH_CPU_SCANS", 3))
+CPU_SCANS = int(os.environ.get("BENCH_CPU_SCANS", 4))
 RTT = 0.035                 # axon relay round-trip, measured
 
 
@@ -115,7 +115,8 @@ def bench_cpu(pipe, log):
         )
         times.append(time.time() - t1)
         assert ok, "CPU reference ICP failed"
-    return 1.0 / float(np.mean(times))
+    # best-case CPU time (conservative for the speedup claim on a shared host)
+    return 1.0 / float(np.min(times))
 
 
 def main():
