@@ -106,3 +106,37 @@ def test_reload_config_swaps_params_without_losing_state():
         jnp.zeros(3, jnp.float32),
     )
     assert np.isfinite(np.asarray(state.ekf.P)).all()
+
+
+def test_vgicp_end_to_end():
+    """The full fused loop with the voxelized matcher (BASELINE config 4)."""
+    pipe, log = tiny_pipe()
+    cfg = copy.deepcopy(pipe.cfg)
+    cfg.pcm.icp_method = IcpMethod.VGICP
+    cfg.pcm.max_fitness_score = 2.0  # fitness ~ |r| to voxel means
+    world = make_world(seed=9, extent=70.0, n_ground=60_000, n_wall=30_000)
+    vpipe = LocalizationPipeline(
+        cfg, world, ds_points=1024,
+        tile_budget=TileQueryBudget(qb=8, max_slots=1024),
+        use_native=False, ego_ring_size=128, imu_ring_size=128,
+    )
+    state, outs = vpipe.run_fused(log)
+    applied = np.asarray(outs["applied"])
+    assert applied[5:].mean() > 0.8
+    t_abs = np.asarray(outs["ego_t_abs"])
+    tail = t_abs > log.scan_t[0] + 2.0
+    ate = ate_rmse(t_abs[tail], np.asarray(outs["ego_pos"])[tail],
+                   log.truth_t, log.truth_pos)
+    assert ate < 0.6, f"VGICP fused ATE {ate}"
+
+
+def test_fused_matches_host_with_gps_and_can():
+    pipe, log = tiny_pipe(gps_hz=5.0, duration=2.0, use_gps=True, use_can=True)
+    _, traj = pipe.run(log)
+    _, outs = pipe.run_fused(log)
+    # The fused mode batches events per scan frame (imu -> can -> gps ->
+    # scan, replay_fused docstring) while the host loop interleaves in
+    # strict time order, so trajectories agree only to the ordering skew.
+    np.testing.assert_allclose(
+        traj["pos"][-1], np.asarray(outs["ego_pos"])[-1], atol=0.15
+    )
