@@ -78,12 +78,97 @@ def bench_tpu(pipe, log):
     float(jnp.sum(outs["ego_pos"]))
     dt = max(time.time() - t0 - RTT, 1e-9)
     n = len(log.scan_t)
-    ate = ate_rmse(
-        np.asarray(outs["ego_t_abs"]), np.asarray(outs["ego_pos"]),
-        log.truth_t, log.truth_pos,
-    )
+    t_abs = np.asarray(outs["ego_t_abs"])
+    pos = np.asarray(outs["ego_pos"])
+    ate = ate_rmse(t_abs, pos, log.truth_t, log.truth_pos)
+    tail = t_abs > log.scan_t[0] + 0.6 * (log.scan_t[-1] - log.scan_t[0])
+    ate_tail = ate_rmse(t_abs[tail], pos[tail], log.truth_t, log.truth_pos)
     applied = float(np.asarray(outs["applied"]).mean())
-    return n / dt, ate, applied
+    return n / dt, ate, ate_tail, applied
+
+
+def bench_ekf_steps(pipe):
+    """EKF predict steps/sec (27-state propagate, in-device loop)."""
+    import jax.numpy as jnp
+    from elimaloc_tpu.ekf import ImuMeas, predict_imu
+
+    state = pipe.reset()
+    state = state.replace(
+        ekf=state.ekf.replace(
+            reset_for_init_prediction=jnp.asarray(False),
+            state_initialized=jnp.asarray(True),
+        )
+    )
+    k = 20000
+
+    def run(ekf):
+        def body(i, s):
+            imu = ImuMeas(
+                timestamp=0.001 * (i + 1).astype(jnp.float32),
+                acc=jnp.asarray([0.0, 0.0, 9.81], jnp.float32),
+                gyro=jnp.asarray([0.0, 0.0, 0.01], jnp.float32),
+            )
+            return predict_imu(s, imu, pipe.params.ekf, pipe.static.ekf_flags)
+
+        return jax.lax.fori_loop(0, k, body, ekf).pos
+
+    f = jax.jit(run)
+    float(f(state.ekf)[0])
+    t0 = time.time()
+    float(f(state.ekf)[0])
+    return k / max(time.time() - t0 - RTT, 1e-9)
+
+
+def bench_icp_batched(pipe, log, batch=8):
+    """Independent-scan ICP throughput (the raw registration metric): vmap
+    over a batch of downsampled 128k-pt scans against the map."""
+    import jax.numpy as jnp
+    from elimaloc_tpu.map.grid import voxel_downsample
+    from elimaloc_tpu.register import run_register
+
+    n = log.scan_points.shape[1]
+    scans, inits = [], []
+    from elimaloc_tpu.pipeline.log import _traj
+
+    t0_log = float(log.imu_t[0])
+    for k in range(2, 2 + batch):
+        pts = jnp.asarray(log.scan_points[k], jnp.float32)
+        v = jnp.asarray(log.scan_valid[k])
+        ds, dsv, _ = jax.jit(
+            lambda p, vv: voxel_downsample(p, vv, 1.5, 8192)
+        )(pts, v)
+        scans.append((ds, dsv))
+        pose_t, yaw, _, _, _ = _traj(
+            np.array([float(log.scan_t[k]) - t0_log]), ramp=3.0
+        )
+        T = np.eye(4, dtype=np.float32)
+        c, s_ = np.cos(yaw[0]), np.sin(yaw[0])
+        T[:2, :2] = [[c, -s_], [s_, c]]
+        T[:3, 3] = pose_t[0] + [0.2, -0.1, 0.02]
+        inits.append(T)
+    ds_b = jnp.stack([a for a, _ in scans])
+    dsv_b = jnp.stack([b for _, b in scans])
+    init_b = jnp.asarray(np.stack(inits))
+
+    reps = 5
+
+    def run(ds, dsv, init):
+        def body(i, c):
+            res = jax.vmap(
+                lambda s1, v1, i1: run_register(
+                    s1, v1, pipe.map, i1, pipe.params.icp,
+                    pipe.static.icp_static,
+                )
+            )(ds, dsv, init)
+            return c + jnp.sum(res.pose[:, 0, 3]) * 0 + 1.0
+
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    f = jax.jit(run)
+    float(f(ds_b, dsv_b, init_b))
+    t0 = time.time()
+    float(f(ds_b, dsv_b, init_b))
+    return batch * reps / max(time.time() - t0 - RTT, 1e-9)
 
 
 def bench_cpu(pipe, log):
@@ -121,7 +206,9 @@ def bench_cpu(pipe, log):
 
 def main():
     pipe, log = build_everything()
-    tpu_sps, ate, applied = bench_tpu(pipe, log)
+    tpu_sps, ate, ate_tail, applied = bench_tpu(pipe, log)
+    icp_sps = bench_icp_batched(pipe, log)
+    ekf_sps = bench_ekf_steps(pipe)
     cpu_sps = bench_cpu(pipe, log)
     print(
         json.dumps(
@@ -131,8 +218,11 @@ def main():
                 "value": round(tpu_sps, 2),
                 "unit": "scans/s",
                 "vs_baseline": round(tpu_sps / cpu_sps, 2),
-                "cpu_baseline_scans_per_s": round(cpu_sps, 2),
+                "cpu_baseline_scans_per_s": round(cpu_sps, 3),
+                "icp_batched_scans_per_s": round(icp_sps, 2),
+                "ekf_steps_per_s": round(ekf_sps, 1),
                 "ate_rmse_m": round(ate, 4),
+                "ate_tail_m": round(ate_tail, 4),
                 "applied_ratio": round(applied, 3),
                 "device": str(jax.devices()[0]),
             }

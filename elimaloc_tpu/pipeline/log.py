@@ -215,6 +215,8 @@ def synthesize_log(
 def ate_rmse(est_t, est_pos, truth_t, truth_pos) -> float:
     """Absolute trajectory error (RMSE) with nearest-time association."""
     est_t = np.asarray(est_t)
+    if len(est_t) == 0:
+        return float("inf")
     errs = []
     for tt, tp in zip(truth_t, truth_pos):
         i = np.argmin(np.abs(est_t - tt))
