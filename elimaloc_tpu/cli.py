@@ -22,6 +22,10 @@ import numpy as np
 
 
 def _load_map_points(path):
+    if path.endswith(".pcd"):
+        from .map import read_pcd_points
+
+        return read_pcd_points(path)
     if path.endswith(".npy"):
         return np.load(path)
     z = np.load(path)
@@ -64,7 +68,7 @@ def cmd_build_map(args):
     from .map import build_voxel_map
     from .utils import save_built_map
 
-    pts = np.load(args.points)
+    pts = _load_map_points(args.points)
     method = IcpMethod(args.icp_method)
     t0 = time.time()
     built = build_voxel_map(
@@ -93,6 +97,14 @@ def cmd_replay(args):
     cfg = _make_config(args)
     log = ReplayLog.load(args.log)
     map_obj = _load_map_points(args.map)
+
+    # reference map filenames encode the geodetic origin (launch files)
+    if args.map.endswith(".pcd"):
+        from .map import parse_origin_from_filename
+
+        origin = parse_origin_from_filename(args.map)
+        if origin is not None:
+            cfg.ekf.ref_latitude, cfg.ekf.ref_longitude, cfg.ekf.ref_height = origin
 
     # Synthetic logs carry ground truth and are generated in the ego frame
     # with no sensor delay; without explicit INI/calib, adopt those
@@ -162,7 +174,7 @@ def main(argv=None):
     p.set_defaults(fn=cmd_synth)
 
     p = sub.add_parser("build-map", help="build + cache the packed voxel map")
-    p.add_argument("--points", required=True, help="[N,3] .npy")
+    p.add_argument("--points", required=True, help="[N,3] .npy or .pcd")
     p.add_argument("--out", default="map.npz")
     p.add_argument("--voxel-size", type=float, default=1.0)
     p.add_argument("--max-points", type=int, default=30)

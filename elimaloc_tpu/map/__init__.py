@@ -4,6 +4,12 @@ from .builder import (  # noqa: F401
     find_ground_height as find_ground_height_host,
     voxel_downsample_host,
 )
+from .pcd import (  # noqa: F401
+    parse_origin_from_filename,
+    read_pcd,
+    read_pcd_points,
+    write_pcd,
+)
 from .tiles import (  # noqa: F401
     HostTileMap,
     TileMap,

@@ -57,6 +57,15 @@ class _NativeBuilder:
             ctypes.POINTER(ctypes.c_int64),   # out counts [cap]
             ctypes.c_int64,                   # cap (max voxels)
         ]
+        try:
+            self._c.elm_lzf_decompress.restype = ctypes.c_int64
+            self._c.elm_lzf_decompress.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int64,
+            ]
+            self._has_lzf = True
+        except AttributeError:
+            self._has_lzf = False
 
     def insert_points(self, points: np.ndarray, voxel_size: float, max_pts: int):
         n = points.shape[0]
@@ -78,3 +87,14 @@ class _NativeBuilder:
         if v < 0:
             raise RuntimeError("native elm_insert_points failed")
         return vox_coords[:v], block[:v], counts[:v]
+
+    def lzf_decompress(self, src: bytes, expected: int):
+        """LZF decompression; returns bytes or None when unavailable/failed."""
+        if not self._has_lzf:
+            return None
+        out = (ctypes.c_ubyte * expected)()
+        src_buf = (ctypes.c_ubyte * len(src)).from_buffer_copy(src)
+        n = self._c.elm_lzf_decompress(src_buf, len(src), out, expected)
+        if n != expected:
+            return None
+        return bytes(out)

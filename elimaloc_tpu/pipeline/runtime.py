@@ -603,16 +603,31 @@ class LocalizationPipeline:
         self._build_jitted()
 
     def project_gps(self, lat, lon, height):
-        """lat/lon/h -> local ENU using the configured geodetic origin
-        (ProjectGpsPoint, ekf_localization.cpp:643-648)."""
+        """lat/lon/h -> local xyz using the configured geodetic origin
+        (ProjectGpsPoint, ekf_localization.cpp:643-648). projection_mode
+        selects ENU ("Cartesian", localization.ini:14) or the UTM plane (dead
+        config in the reference; implemented here)."""
         from ..ops import geo
 
         e = self.cfg.ekf
+        fwd = (geo.project_gps_point_utm
+               if self.cfg.pcm.projection_mode.upper() == "UTM"
+               else geo.project_gps_point)
         return np.asarray(
-            geo.project_gps_point(
-                lat, lon, height, e.ref_latitude, e.ref_longitude, e.ref_height
-            )
+            fwd(lat, lon, height, e.ref_latitude, e.ref_longitude, e.ref_height)
         )
+
+    def unproject(self, xyz):
+        """Local xyz -> (lat, lon, h) — LocalCartesian::Reverse equivalent
+        (ekf_localization.cpp:412-418), honoring projection_mode."""
+        from ..ops import geo
+
+        e = self.cfg.ekf
+        rev = (geo.unproject_local_point_utm
+               if self.cfg.pcm.projection_mode.upper() == "UTM"
+               else geo.unproject_local_point)
+        lat, lon, h = rev(xyz, e.ref_latitude, e.ref_longitude, e.ref_height)
+        return np.asarray(lat), np.asarray(lon), np.asarray(h)
 
     # ---- relocalization (CallbackInitialPose, pcm_matching.cpp:356-447) ----
     def initialize_at(self, state: PipelineState, x, y, yaw, scan_points,

@@ -101,4 +101,34 @@ int64_t elm_insert_points(const double* points, int64_t n, double voxel_size,
     return v;
 }
 
+// LZF decompression (Marc Lehmann's liblzf stream format, as produced by
+// PCL's binary_compressed PCD writer). Returns output length or -1.
+int64_t elm_lzf_decompress(const unsigned char* in, int64_t in_len,
+                           unsigned char* out, int64_t out_cap) {
+    int64_t i = 0, o = 0;
+    while (i < in_len) {
+        unsigned int ctrl = in[i++];
+        if (ctrl < 32) {  // literal run
+            int64_t cnt = static_cast<int64_t>(ctrl) + 1;
+            if (i + cnt > in_len || o + cnt > out_cap) return -1;
+            for (int64_t k = 0; k < cnt; ++k) out[o++] = in[i++];
+        } else {  // back reference
+            int64_t len = ctrl >> 5;
+            if (len == 7) {
+                if (i >= in_len) return -1;
+                len += in[i++];
+            }
+            if (i >= in_len) return -1;
+            int64_t ref = o - ((ctrl & 0x1f) << 8) - in[i++] - 1;
+            if (ref < 0 || o + len + 2 > out_cap) return -1;
+            for (int64_t k = 0; k < len + 2; ++k) {
+                out[o] = out[ref];
+                ++o;
+                ++ref;
+            }
+        }
+    }
+    return o;
+}
+
 }  // extern "C"

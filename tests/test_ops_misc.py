@@ -84,6 +84,79 @@ class TestGeo:
         assert abs(out[0]) < 1e-3
 
 
+class TestUtm:
+    """projection_mode = UTM (localization.ini:14 — dead config in the
+    reference, live here; validated against the standard UTM definition)."""
+
+    def test_known_vector_cn_tower(self):
+        # 43*38'33.24"N 79*23'13.7"W -> zone 17, 630084 E / 4833438 N
+        e, n, zone = geo.utm_forward(43.0 + 38 / 60 + 33.24 / 3600,
+                                     -(79.0 + 23 / 60 + 13.7 / 3600))
+        assert zone == 17
+        assert abs(float(e) - 630084.0) < 1.5
+        assert abs(float(n) - 4833438.0) < 1.5
+
+    def test_forward_reverse_roundtrip(self):
+        rng = np.random.default_rng(0)
+        lats = rng.uniform(-70, 70, 64)
+        lons = rng.uniform(-179, 179, 64)
+        for lat, lon in zip(lats, lons):
+            zone = geo.utm_zone(lon)
+            e, n, _ = geo.utm_forward(lat, lon, zone=zone)
+            lat2, lon2 = geo.utm_reverse(e, n, zone, southern=lat < 0)
+            assert abs(float(lat2) - lat) < 1e-8
+            assert abs(float(lon2) - lon) < 1e-8
+
+    def test_southern_false_northing(self):
+        e, n, zone = geo.utm_forward(-33.8568, 151.2153)
+        assert zone == 56
+        assert 0.0 < float(n) < 1e7  # 10,000 km false northing applied
+
+    def test_local_utm_projection_roundtrip(self):
+        ref = (37.5582, 127.0445, 66.0)
+        xyz = np.array([[120.0, -340.0, 4.0], [0.0, 0.0, 0.0]])
+        lat, lon, h = geo.unproject_local_point_utm(xyz, *ref)
+        back = np.asarray(geo.project_gps_point_utm(lat, lon, h, *ref))
+        # 3rd-order Krueger series truncates at ~n^4*A ~ 1e-5 m
+        np.testing.assert_allclose(back, xyz, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(geo.project_gps_point_utm(*ref, *ref)), 0.0, atol=1e-3)
+
+    def test_utm_enu_distances_agree(self):
+        # The UTM plane is rotated vs ENU by the grid convergence (~1.2 deg
+        # at 2 deg from the zone's central meridian), so components differ;
+        # horizontal DISTANCES agree to the UTM scale distortion (<~5e-4).
+        ref = (37.5582, 127.0445, 66.0)
+        lat, lon, h = geo.unproject_local_point(
+            jnp.asarray([150.0, 80.0, 2.0]), *ref)
+        utm = np.asarray(geo.project_gps_point_utm(lat, lon, h, *ref))
+        np.testing.assert_allclose(
+            np.linalg.norm(utm[:2]), np.hypot(150.0, 80.0), rtol=5e-4)
+        # UTM z is ellipsoidal height; ENU up differs by d^2/2R curvature
+        np.testing.assert_allclose(utm[2], 2.0, atol=5e-3)
+
+    def test_pipeline_project_gps_dispatch(self):
+        from elimaloc_tpu.config import ElimalocConfig
+
+        cfg = ElimalocConfig()
+        cfg.ekf.ref_latitude, cfg.ekf.ref_longitude, cfg.ekf.ref_height = (
+            37.5582, 127.0445, 66.0)
+        cfg.pcm.projection_mode = "UTM"
+        lat, lon, h = geo.unproject_local_point_utm(
+            np.array([50.0, -20.0, 1.0]), 37.5582, 127.0445, 66.0)
+
+        class _P:  # only cfg is consulted by project_gps/unproject
+            pass
+
+        from elimaloc_tpu.pipeline.runtime import LocalizationPipeline
+        p = _P()
+        p.cfg = cfg
+        out = LocalizationPipeline.project_gps(p, float(lat), float(lon), float(h))
+        np.testing.assert_allclose(out, [50.0, -20.0, 1.0], atol=1e-3)
+        la, lo, hh = LocalizationPipeline.unproject(p, out)
+        np.testing.assert_allclose([la, lo, hh], [lat, lon, h], rtol=0, atol=1e-7)
+
+
 class TestConfig:
     def test_load_reference_format_ini(self, tmp_path):
         ini = tmp_path / "localization.ini"
