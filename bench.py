@@ -12,7 +12,6 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -37,7 +37,7 @@ def _load_map_points(path):
 
 
 def _make_config(args):
-    from .config import ConfigWatcher, ElimalocConfig, load_localization_ini, load_calibration_ini
+    from .config import ElimalocConfig, load_localization_ini, load_calibration_ini
 
     cfg = ElimalocConfig()
     if args.ini:

@@ -15,11 +15,10 @@ from __future__ import annotations
 
 import configparser
 import dataclasses
-import math
 import os
 from dataclasses import dataclass, field
 from enum import IntEnum
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 
 class IcpMethod(IntEnum):

@@ -4,7 +4,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from elimaloc_tpu import deskew
-from elimaloc_tpu.ops import lie
 
 import ref_numpy as ref
 

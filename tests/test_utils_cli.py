@@ -51,7 +51,6 @@ class TestCheckpoint:
 
     def test_pipeline_resume_equivalence(self, tmp_path):
         """Saving mid-log and resuming must reproduce the straight-through run."""
-        from elimaloc_tpu.config import ElimalocConfig, IcpMethod
         from elimaloc_tpu.ekf import ImuMeas, predict_imu, EkfFlags
 
         cfg = EkfConfig()
