@@ -1,4 +1,12 @@
 from .log import ReplayLog, _traj as circle_traj, ate_rmse, make_world, synthesize_log  # noqa: F401
+from .pointcloud import (  # noqa: F401
+    OUSTER_FIELDS,
+    VELODYNE_FIELDS,
+    convert_scan,
+    decode_cloud,
+    ouster_to_xyzit,
+    velodyne_to_xyzit,
+)
 from .rings import (  # noqa: F401
     EgoRing,
     ImuRing,
