@@ -5,7 +5,9 @@ from .checkpoint import (  # noqa: F401
     save_state,
 )
 from .observability import (  # noqa: F401
+    cov_ellipsoid_markers,
     export_cloud_ply,
+    export_cov_markers_jsonl,
     export_metrics_jsonl,
     export_trajectory_tum,
     scan_metrics,

@@ -86,6 +86,50 @@ def export_metrics_jsonl(path: str, scans) -> None:
             f.write(json.dumps(scan_metrics(s)) + "\n")
 
 
+def cov_ellipsoid_markers(means: np.ndarray, covs: np.ndarray):
+    """Voxel-covariance visualization glyphs — the VisualizeCovMap marker
+    parameters (reference: pcm_matching.cpp:826-898) as arrays.
+
+    Per covariance: eigendecomposition sorted DESCENDING with a determinant
+    flip of the first eigenvector when improper (SortEigenvaluesAndEigenvectors
+    cpp:826-845), orientation as a (w,x,y,z) quaternion, per-axis scale
+    3*sqrt(lambda + 0.01) (cpp:883-885), and RGB = |components| of the LAST
+    sorted eigenvector — the smallest one, i.e. the plane normal of
+    plane-regularized voxel covs (cpp:888-892).
+
+    Returns (pos [N,3], quat_wxyz [N,4], scale [N,3], rgb [N,3]).
+    """
+    from ..ops import lie
+    import jax.numpy as jnp
+
+    means = np.asarray(means, np.float64)
+    covs = np.asarray(covs, np.float64)
+    w, v = np.linalg.eigh(covs)             # ascending
+    w = w[:, ::-1]                          # descending eigenvalues
+    v = v[:, :, ::-1]                       # matching eigenvectors (columns)
+    dets = np.linalg.det(v)
+    v[dets < 0, :, 0] *= -1.0               # make proper rotations
+    quat = np.asarray(lie.rot_to_quat(jnp.asarray(v)))
+    scale = 3.0 * np.sqrt(w + 0.01)
+    rgb = np.abs(v[:, :, 2])
+    return means, quat, scale, rgb
+
+
+def export_cov_markers_jsonl(path: str, means, covs) -> None:
+    """File-export equivalent of the /pcm/cov_map MarkerArray topic."""
+    pos, quat, scale, rgb = cov_ellipsoid_markers(means, covs)
+    with open(path, "w") as f:
+        for i in range(len(pos)):
+            f.write(json.dumps({
+                "id": i,
+                "pos": [round(float(x), 6) for x in pos[i]],
+                "quat_wxyz": [round(float(x), 6) for x in quat[i]],
+                "scale": [round(float(x), 6) for x in scale[i]],
+                "rgb": [round(float(x), 4) for x in rgb[i]],
+                "alpha": 0.5,
+            }) + "\n")
+
+
 def export_cloud_ply(path: str, points: np.ndarray) -> None:
     """Minimal ASCII PLY export (the undistorted/aligned-cloud topics)."""
     pts = np.asarray(points)

@@ -133,3 +133,49 @@ def test_cli_build_map(tmp_path):
               "--icp-method", "0"])
     loaded = load_built_map(out_p)
     assert loaded.num_voxels > 100
+
+
+def test_cov_ellipsoid_markers_diagonal():
+    """Marker params match the reference construction (pcm_matching.cpp:826-898)."""
+    from elimaloc_tpu.utils import cov_ellipsoid_markers
+
+    means = np.array([[1.0, 2.0, 3.0]])
+    covs = np.array([np.diag([4.0, 1.0, 0.25])])
+    pos, quat, scale, rgb = cov_ellipsoid_markers(means, covs)
+    np.testing.assert_allclose(pos[0], [1, 2, 3])
+    # descending eigenvalues -> scale 3*sqrt(lambda + 0.01)
+    np.testing.assert_allclose(scale[0], 3 * np.sqrt([4.01, 1.01, 0.26]), rtol=1e-12)
+    # eigenvectors form identity -> identity quaternion (w,x,y,z)
+    np.testing.assert_allclose(np.abs(quat[0]), [1, 0, 0, 0], atol=1e-9)
+    # color = |smallest eigenvector| = z axis
+    np.testing.assert_allclose(rgb[0], [0, 0, 1], atol=1e-9)
+
+
+def test_cov_markers_rotation_proper_and_export(tmp_path):
+    import json as _json
+
+    from elimaloc_tpu.utils import cov_ellipsoid_markers, export_cov_markers_jsonl
+    from elimaloc_tpu.ops import lie
+
+    rng = np.random.default_rng(4)
+    n = 16
+    # random plane-regularized covs: R diag(1,1,1e-3) R^T
+    covs, normals = [], []
+    for _ in range(n):
+        a = rng.normal(size=3)
+        R = np.asarray(lie.so3_exp(jnp.asarray(a)))
+        covs.append(R @ np.diag([1.0, 1.0, 1e-3]) @ R.T)
+        normals.append(R[:, 2])
+    covs = np.stack(covs)
+    means = rng.normal(size=(n, 3))
+    pos, quat, scale, rgb = cov_ellipsoid_markers(means, covs)
+    # quaternions must be unit (proper rotations after the det flip)
+    np.testing.assert_allclose(np.linalg.norm(quat, axis=1), 1.0, atol=1e-9)
+    # color encodes the plane normal direction
+    np.testing.assert_allclose(rgb, np.abs(np.stack(normals)), atol=1e-6)
+
+    path = str(tmp_path / "cov.jsonl")
+    export_cov_markers_jsonl(path, means, covs)
+    rows = [_json.loads(l) for l in open(path)]
+    assert len(rows) == n and rows[0]["alpha"] == 0.5
+    np.testing.assert_allclose(rows[3]["pos"], means[3], atol=1e-6)
