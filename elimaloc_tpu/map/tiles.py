@@ -381,21 +381,24 @@ def _scatter_back(n, qidx, *fields):
 # Queries
 # --------------------------------------------------------------------------- #
 
-def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
+def nearest_point_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask, max_dist,
                         budget: TileQueryBudget, *, with_point_cov: bool = False,
                         chunk: int = 8):
-    """Nearest map point within the exact 27-voxel cube of each query
-    (hash-grid/GetCorrespondencePoints semantics). Returns
-    (target [N,3], valid [N]) plus (cov [N,3,3], cov_mean [N,3]) when
-    ``with_point_cov`` (GICP)."""
+    """Slot-layout core of :func:`query_nearest_point`: correspondence for
+    pre-assigned per-tile query blocks, no scatter back to query order. Used
+    directly by the ICP inner loop, where slot assignment is hoisted out of
+    the Gauss-Newton iteration (sort/scatter are TPU scalar-core-bound; the
+    GN sums are permutation-invariant so results never need re-ordering).
+
+    Returns (target [S,QB,3], ok [S,QB]) + (cov [S,QB,3,3], mean [S,QB,3])
+    when ``with_point_cov``.
+    """
     if budget.pallas:
-        return _query_nearest_point_pallas(
-            tmap, queries, valid, max_dist, budget,
+        return _nearest_point_slots_pallas(
+            tmap, slot_tile, qbuf, qvox, qmask, max_dist,
             with_point_cov=with_point_cov,
         )
-    n = queries.shape[0]
-    asg = assign_slots(tmap, queries, valid, budget)
-    nbr = _neighbor_tiles(tmap, asg.slot_tile)          # [S,9]
+    nbr = _neighbor_tiles(tmap, slot_tile)              # [S,9]
     mtp = tmap.tile_points.shape[1]
 
     def per_slot(args):
@@ -438,9 +441,24 @@ def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
             )
         return outs
 
-    centers = _slot_centers(tmap, asg.slot_tile, queries.dtype)
-    xs = (asg.qbuf, asg.qvox, asg.qmask, nbr, centers)
-    res = _chunked(per_slot, xs, chunk)
+    centers = _slot_centers(tmap, slot_tile, qbuf.dtype)
+    xs = (qbuf, qvox, qmask, nbr, centers)
+    return _chunked(per_slot, xs, chunk)
+
+
+def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
+                        budget: TileQueryBudget, *, with_point_cov: bool = False,
+                        chunk: int = 8):
+    """Nearest map point within the exact 27-voxel cube of each query
+    (hash-grid/GetCorrespondencePoints semantics). Returns
+    (target [N,3], valid [N]) plus (cov [N,3,3], cov_mean [N,3]) when
+    ``with_point_cov`` (GICP)."""
+    n = queries.shape[0]
+    asg = assign_slots(tmap, queries, valid, budget)
+    res = nearest_point_slots(
+        tmap, asg.slot_tile, asg.qbuf, asg.qvox, asg.qmask, max_dist, budget,
+        with_point_cov=with_point_cov, chunk=chunk,
+    )
     fields = [(queries[0] * 0.0, res[0]), (jnp.asarray(False), res[1])]
     if with_point_cov:
         fields += [
@@ -455,17 +473,16 @@ def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
     return tuple(out)
 
 
-def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
-                            budget: TileQueryBudget, chunk: int = 8):
-    """VGICP: covariance of the 27-neighborhood voxel whose mean is closest.
-    Returns (cov [N,3,3], mean [N,3], valid [N])."""
+def nearest_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
+                            max_dist, budget: TileQueryBudget, chunk: int = 8):
+    """Slot-layout core of :func:`query_nearest_voxel_cov` (see
+    :func:`nearest_point_slots` for why). Returns
+    (cov [S,QB,3,3], mean [S,QB,3], ok [S,QB])."""
     if budget.pallas:
-        return _query_nearest_voxel_cov_pallas(
-            tmap, queries, valid, max_dist, budget
+        return _nearest_voxel_cov_slots_pallas(
+            tmap, slot_tile, qbuf, qvox, qmask, max_dist
         )
-    n = queries.shape[0]
-    asg = assign_slots(tmap, queries, valid, budget)
-    nbr = _neighbor_tiles(tmap, asg.slot_tile)
+    nbr = _neighbor_tiles(tmap, slot_tile)
     mtv = tmap.tile_vox_mean.shape[1]
 
     def per_slot(args):
@@ -500,8 +517,20 @@ def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
             ok,
         )
 
-    centers = _slot_centers(tmap, asg.slot_tile, queries.dtype)
-    res = _chunked(per_slot, (asg.qbuf, asg.qvox, asg.qmask, nbr, centers), chunk)
+    centers = _slot_centers(tmap, slot_tile, qbuf.dtype)
+    return _chunked(per_slot, (qbuf, qvox, qmask, nbr, centers), chunk)
+
+
+def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
+                            budget: TileQueryBudget, chunk: int = 8):
+    """VGICP: covariance of the 27-neighborhood voxel whose mean is closest.
+    Returns (cov [N,3,3], mean [N,3], valid [N])."""
+    n = queries.shape[0]
+    asg = assign_slots(tmap, queries, valid, budget)
+    res = nearest_voxel_cov_slots(
+        tmap, asg.slot_tile, asg.qbuf, asg.qvox, asg.qmask, max_dist, budget,
+        chunk=chunk,
+    )
     cov, mean, ok = _scatter_back(
         n,
         asg.qidx,
@@ -513,14 +542,16 @@ def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
     return cov, mean, ok
 
 
-def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
-                        budget: TileQueryBudget, chunk: int = 8):
-    """AVGICP: the 7 face-adjacent voxels' covariances where they exist and
-    their means pass the distance gate (GetCorrespondencesAllCov semantics).
-    Returns (cov [N,7,3,3], mean [N,7,3], valid [N,7])."""
-    n = queries.shape[0]
-    asg = assign_slots(tmap, queries, valid, budget)
-    nbr = _neighbor_tiles(tmap, asg.slot_tile)
+def all_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
+                        max_dist, budget: TileQueryBudget, chunk: int = 8):
+    """Slot-layout core of :func:`query_all_voxel_cov` (see
+    :func:`nearest_point_slots` for why). Returns
+    (cov [S,QB,7,3,3], mean [S,QB,7,3], ok [S,QB,7])."""
+    if budget.pallas:
+        return _all_voxel_cov_slots_pallas(
+            tmap, slot_tile, qbuf, qvox, qmask, max_dist
+        )
+    nbr = _neighbor_tiles(tmap, slot_tile)
     mtv = tmap.tile_vox_mean.shape[1]
     off7 = jnp.asarray(OFFSETS_7)
 
@@ -552,7 +583,20 @@ def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
             ok,
         )
 
-    res = _chunked(per_slot, (asg.qbuf, asg.qvox, asg.qmask, nbr), chunk)
+    return _chunked(per_slot, (qbuf, qvox, qmask, nbr), chunk)
+
+
+def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
+                        budget: TileQueryBudget, chunk: int = 8):
+    """AVGICP: the 7 face-adjacent voxels' covariances where they exist and
+    their means pass the distance gate (GetCorrespondencesAllCov semantics).
+    Returns (cov [N,7,3,3], mean [N,7,3], valid [N,7])."""
+    n = queries.shape[0]
+    asg = assign_slots(tmap, queries, valid, budget)
+    res = all_voxel_cov_slots(
+        tmap, asg.slot_tile, asg.qbuf, asg.qvox, asg.qmask, max_dist, budget,
+        chunk=chunk,
+    )
     cov, mean, ok = _scatter_back(
         n,
         asg.qidx,
@@ -568,94 +612,69 @@ def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
 # Pallas-fused variants
 # --------------------------------------------------------------------------- #
 
-def _query_nearest_point_pallas(tmap: TileMap, queries, valid, max_dist,
-                                budget: TileQueryBudget, *,
-                                with_point_cov: bool = False):
+def _nearest_point_slots_pallas(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
+                                max_dist, *, with_point_cov: bool = False):
     from ..pallas.corr_kernels import nearest_point_pallas
 
     if tmap.tile_points_t is None:
         raise ValueError("map built without for_pallas=True")
-    n = queries.shape[0]
-    asg = assign_slots(tmap, queries, valid, budget)
     tgt, d2, idx = nearest_point_pallas(
-        tmap, asg.qbuf.astype(jnp.float32), asg.qvox, asg.slot_tile
+        tmap, qbuf.astype(jnp.float32), qvox, slot_tile
     )
-    ok = asg.qmask & (d2 < max_dist * max_dist)
+    tgt = tgt.astype(qbuf.dtype)
+    ok = qmask & (d2 < max_dist * max_dist)
+    target = jnp.where(ok[..., None], tgt, qbuf)
+    if not with_point_cov:
+        return target, ok
+    # Per-query payload gather from the untransposed arrays ([S,QB] rows).
     mtp_p = tmap.tile_points_t.shape[2]
-    nbr = _neighbor_tiles(tmap, asg.slot_tile)
+    nbr = _neighbor_tiles(tmap, slot_tile)
     nbr_k = idx // mtp_p                                   # [S,QB] neighbor 0..8
     slot_in_tile = idx % mtp_p
     tile_row = jnp.take_along_axis(nbr, nbr_k, axis=1)     # [S,QB]
-    out = _scatter_back(
-        n, asg.qidx,
-        (queries[0] * 0.0, tgt.astype(queries.dtype)),
-        (jnp.asarray(False), ok),
-        (jnp.asarray(0, jnp.int32), tile_row),
-        (jnp.asarray(0, jnp.int32), slot_in_tile),
+    tile_safe = jnp.where(ok, tile_row, tmap.sentinel)
+    slot_safe = jnp.where(
+        ok, jnp.minimum(slot_in_tile, tmap.tile_point_cov.shape[1] - 1), 0
     )
-    target, ok_n, tile_n, slot_n = out
-    target = jnp.where(ok_n[:, None], target, queries)
-    if not with_point_cov:
-        return target, ok_n
-    # Per-query payload gather from the untransposed arrays (N rows).
-    tile_safe = jnp.where(ok_n, tile_n, tmap.sentinel)
-    slot_safe = jnp.where(ok_n, jnp.minimum(slot_n, tmap.tile_point_cov.shape[1] - 1), 0)
-    cov = tmap.tile_point_cov[tile_safe, slot_safe].astype(queries.dtype)
-    mean = tmap.tile_point_cov_mean[tile_safe, slot_safe].astype(queries.dtype)
+    cov = tmap.tile_point_cov[tile_safe, slot_safe].astype(qbuf.dtype)
+    mean = tmap.tile_point_cov_mean[tile_safe, slot_safe].astype(qbuf.dtype)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    cov = jnp.where(ok_n[:, None, None], cov, eye)
-    mean = jnp.where(ok_n[:, None] & jnp.isfinite(mean), mean, queries)
-    return target, ok_n, cov, mean
+    cov = jnp.where(ok[..., None, None], cov, eye)
+    mean = jnp.where(ok[..., None] & jnp.isfinite(mean), mean, qbuf)
+    return target, ok, cov, mean
 
 
-def _query_nearest_voxel_cov_pallas(tmap: TileMap, queries, valid, max_dist,
-                                    budget: TileQueryBudget):
+def _nearest_voxel_cov_slots_pallas(tmap: TileMap, slot_tile, qbuf, qvox,
+                                    qmask, max_dist):
     from ..pallas.corr_kernels import nearest_voxel_cov_pallas
 
     if tmap.tile_vox_mean_t is None:
         raise ValueError("map built without for_pallas=True")
-    n = queries.shape[0]
-    asg = assign_slots(tmap, queries, valid, budget)
     mean, cov9, d2 = nearest_voxel_cov_pallas(
-        tmap, asg.qbuf.astype(jnp.float32), asg.qvox, asg.slot_tile
+        tmap, qbuf.astype(jnp.float32), qvox, slot_tile
     )
-    ok = asg.qmask & (d2 < max_dist * max_dist)
-    out = _scatter_back(
-        n, asg.qidx,
-        (jnp.eye(3, dtype=queries.dtype).reshape(9), cov9.astype(queries.dtype)),
-        (queries[0] * 0.0, mean.astype(queries.dtype)),
-        (jnp.asarray(False), ok),
-    )
-    cov9_n, mean_n, ok_n = out
-    cov = cov9_n.reshape(n, 3, 3)
+    ok = qmask & (d2 < max_dist * max_dist)
+    cov = cov9.astype(qbuf.dtype).reshape(qbuf.shape[:2] + (3, 3))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    cov = jnp.where(ok_n[:, None, None], cov, eye)
-    mean = jnp.where(ok_n[:, None], mean_n, queries)
-    return cov, mean, ok_n
+    cov = jnp.where(ok[..., None, None], cov, eye)
+    mean = jnp.where(ok[..., None], mean.astype(qbuf.dtype), qbuf)
+    return cov, mean, ok
 
 
-def _query_all_voxel_cov_pallas(tmap: TileMap, queries, valid, max_dist,
-                                budget: TileQueryBudget):
+def _all_voxel_cov_slots_pallas(tmap: TileMap, slot_tile, qbuf, qvox,
+                                qmask, max_dist):
     from ..pallas.corr_kernels import all_voxel_cov_pallas
 
     if tmap.tile_vox_mean_t is None:
         raise ValueError("map built without for_pallas=True")
-    n = queries.shape[0]
-    asg = assign_slots(tmap, queries, valid, budget)
     mean, cov9, found = all_voxel_cov_pallas(
-        tmap, asg.qbuf.astype(jnp.float32), asg.qvox, asg.slot_tile
+        tmap, qbuf.astype(jnp.float32), qvox, slot_tile
     )
-    d2 = jnp.sum((mean - asg.qbuf[:, :, None, :]) ** 2, axis=-1)
-    ok = asg.qmask[:, :, None] & (found > 0.5) & (d2 < max_dist * max_dist)
-    out = _scatter_back(
-        n, asg.qidx,
-        (jnp.eye(3, dtype=queries.dtype).reshape(9), cov9.astype(queries.dtype)),
-        (jnp.zeros(3, dtype=queries.dtype), mean.astype(queries.dtype)),
-        (jnp.zeros(7, dtype=bool), ok),
-    )
-    cov9_n, mean_n, ok_n = out
-    cov = cov9_n.reshape(n, 7, 3, 3)
+    mean = mean.astype(qbuf.dtype)
+    d2 = jnp.sum((mean - qbuf[:, :, None, :]) ** 2, axis=-1)
+    ok = qmask[:, :, None] & (found > 0.5) & (d2 < max_dist * max_dist)
+    cov = cov9.astype(qbuf.dtype).reshape(qbuf.shape[:2] + (7, 3, 3))
     eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    cov = jnp.where(ok_n[..., None, None], cov, eye)
-    mean = jnp.where(ok_n[..., None], mean_n, queries[:, None, :])
-    return cov, mean, ok_n
+    cov = jnp.where(ok[..., None, None], cov, eye)
+    mean = jnp.where(ok[..., None], mean, qbuf[:, :, None, :])
+    return cov, mean, ok

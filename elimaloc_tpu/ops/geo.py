@@ -90,7 +90,7 @@ def unproject_local_point(xyz, ref_lat, ref_lon, ref_height):
 # (mm-level inside a zone), standard UTM scale/offsets.
 
 _K0 = 0.9996
-_E = jnp.sqrt(_E2)
+_E = _E2 ** 0.5  # host float: module-level jnp would initialize the backend
 _N3 = _F / (2.0 - _F)  # third flattening n
 _A_TM = _A / (1.0 + _N3) * (1.0 + _N3**2 / 4.0 + _N3**4 / 64.0)
 _ALPHA = (
