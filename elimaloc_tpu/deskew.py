@@ -140,7 +140,7 @@ def odom_deskew_info(ring_time, ring_pos, ring_rpy, ring_vel_local,
     tf_end = jnp.where(has_end, tf_end_meas, tf_end_ex)
     t_end = jnp.where(has_end, ring_time[end_idx], scan_end)
 
-    between = lie.transform_inverse(tf_start) @ tf_end
+    between = lie.compose(lie.transform_inverse(tf_start), tf_end)
     dt_scan = scan_end - scan_cur
     dt_trans = t_end - ring_time[start_idx]
     interp = lie.interpolate_tf_with_time(between, dt_scan, dt_trans)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EkfConfig, GnssSource, GpsType
+from ..ops.lie import _HI
 from ..ops import lie
 from ..ops.frames import global_to_local_velocity
 from .state import (
@@ -200,14 +201,17 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
     S = Pi[:, idx_a] + R                # H P H^T + R
     PHt = P[:, idx_a]                   # [27,m]
     K = jnp.linalg.solve(S.T, PHt.T).T  # K = P H^T S^-1
-    su = K @ Y                          # full-state additive update
+    su = jnp.matmul(K, Y, precision=_HI)  # full-state additive update
     if joseph:
         # (I-KH)P(I-KH)^T + KRK^T with H a selector: KH = scatter of K's
         # columns into the observed state columns.
         ikh = jnp.eye(P.shape[0], dtype=P.dtype).at[:, idx_a].add(-K)
-        P_new = ikh @ P @ ikh.T + K @ R @ K.T
+        P_new = (
+            jnp.einsum("ij,jk,lk->il", ikh, P, ikh, precision=_HI)
+            + jnp.einsum("ij,jk,lk->il", K, R, K, precision=_HI)
+        )
     else:
-        P_new = P - K @ Pi              # P -= K H P (reference form)
+        P_new = P - jnp.matmul(K, Pi, precision=_HI)  # P -= K H P (reference form)
 
     rot = lie.quat_normalize(
         lie.quat_mul(state.rot, lie.quat_from_axis_angle(su[3:6]))
@@ -244,7 +248,7 @@ def _propagate_imu(state: EkfState, imu: ImuMeas, dt, params: EkfParams,
     rot_new = lie.quat_normalize(lie.quat_mul(state.rot, delta_rot))
 
     corrected_accel = imu.acc - state.ba
-    accel_global = G_R_I @ corrected_accel - state.grav
+    accel_global = jnp.matmul(G_R_I, corrected_accel, precision=_HI) - state.grav
 
     pos_new = state.pos + state.vel * dt + 0.5 * accel_global * dt * dt
     vel_new = state.vel + accel_global * dt
@@ -279,7 +283,7 @@ def _propagate_imu(state: EkfState, imu: ImuMeas, dt, params: EkfParams,
         F = F.at[S_VZ, S_G_Z].set(-dt)
         F = F.at[S_AZ, S_G_Z].set(-1.0)
 
-    P_new = F @ state.P @ F.T + Q
+    P_new = jnp.einsum("ij,jk,lk->il", F, state.P, F, precision=_HI) + Q
 
     return state.replace(
         pos=pos_new,
@@ -502,7 +506,7 @@ def predict(state: EkfState, timestamp, params: EkfParams) -> EkfState:
     F = F.at[S_ROLL:S_ROLL + 3, S_ROLL_RATE:S_ROLL_RATE + 3].set(eye3 * dts)
     F = F.at[S_X:S_X + 3, S_AX:S_AX + 3].set(eye3 * 0.5 * dt2)
     F = F.at[S_VX:S_VX + 3, S_AX:S_AX + 3].set(eye3 * dts)
-    P_new = F @ state.P @ F.T + Q
+    P_new = jnp.einsum("ij,jk,lk->il", F, state.P, F, precision=_HI) + Q
 
     predicted = state.replace(pos=pos_new, rot=rot_new, vel=vel_new, P=P_new)
     state = _select(do_predict, predicted, state)
@@ -616,7 +620,7 @@ def update_can(state: EkfState, can: CanMeas, params: EkfParams,
     unbiased_vel = can.vel.at[0].multiply(params.can_vel_scale.astype(dtype))
 
     rot_m = lie.quat_to_rot(state.rot)
-    can_vel_global = rot_m @ unbiased_vel
+    can_vel_global = jnp.matmul(rot_m, unbiased_vel, precision=_HI)
 
     Z = jnp.concatenate([can_vel_global, unbiased_gyro_z[None]])
     Z_state = jnp.concatenate([state.vel, state.gyro[2][None]])
@@ -625,7 +629,9 @@ def update_can(state: EkfState, can: CanMeas, params: EkfParams,
     unc = params.can_meas_uncertainty_vel.astype(dtype)
     R_local = jnp.diag(jnp.stack([unc**2, (2 * unc) ** 2, (2 * unc) ** 2]))
     R = jnp.zeros((4, 4), dtype=dtype)
-    R = R.at[:3, :3].set(rot_m @ R_local @ rot_m.T)
+    R = R.at[:3, :3].set(
+        jnp.einsum("ij,jk,lk->il", rot_m, R_local, rot_m, precision=_HI)
+    )
     R = R.at[3, 3].set(params.can_meas_uncertainty_yaw_rate_rad.astype(dtype) ** 2)
 
     updated = _ekf_measurement_update(

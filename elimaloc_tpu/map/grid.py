@@ -273,19 +273,24 @@ def voxel_downsample(points, valid, voxel_size, out_size: int):
 
     Device equivalent of VoxelDownsample (hpp:260-283): "first" follows input
     order, exactly like the reference's insert-if-absent. Returns
-    (points [out_size,3], valid [out_size], kept_count)."""
+    (points [out_size,3], valid [out_size], kept_count).
+
+    The voxel key is a *mixed* (hashed) packing so (a) one stable sort
+    replaces a 4-key lexsort (TPU sorts are scalar-core-bound), and (b) when
+    the number of occupied voxels exceeds ``out_size`` the dropped voxels are
+    spatially unbiased — a coordinate-ordered sort would cut off one side of
+    the cloud, which measurably biases downstream ICP."""
     n = points.shape[0]
     keys = point_to_voxel(points, voxel_size)
-    kx = jnp.where(valid, keys[:, 0], jnp.int32(2**30))
-    ky = jnp.where(valid, keys[:, 1], jnp.int32(2**30))
-    kz = jnp.where(valid, keys[:, 2], jnp.int32(2**30))
-    pos = jnp.arange(n, dtype=jnp.int32)
-    # Lexicographic stable sort: equal-voxel points stay in input order.
-    order = jnp.lexsort((pos, kz, ky, kx))
-    sx, sy, sz = kx[order], ky[order], kz[order]
+    # 32-bit mixed key (uint64 needs x64 mode): rare hash collisions are
+    # resolved by comparing the sorted neighbors' actual coords, so at worst
+    # an interleaved collision keeps one extra point for a voxel.
+    key = jnp.where(valid, _mix(keys), jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key, stable=True)  # equal keys stay in input order
+    sc = keys[order]
     sv = valid[order]
     first = jnp.ones(n, dtype=bool).at[1:].set(
-        (sx[1:] != sx[:-1]) | (sy[1:] != sy[:-1]) | (sz[1:] != sz[:-1])
+        jnp.any(sc[1:] != sc[:-1], axis=-1)
     )
     keep = first & sv
     rank = jnp.cumsum(keep) - 1

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from . import lie
 from .lie import euler_to_rot
 
 
@@ -20,13 +21,13 @@ def global_to_local_velocity(v_global, rpy):
     diagonals.
     """
     rot = euler_to_rot(rpy)
-    return jnp.einsum("...ji,...j->...i", rot, jnp.asarray(v_global))
+    return jnp.einsum("...ji,...j->...i", rot, jnp.asarray(v_global), precision=lie._HI)
 
 
 def local_to_global_velocity(v_local, rpy):
     """Body-frame vector -> global frame (R(rpy) v)."""
     rot = euler_to_rot(rpy)
-    return jnp.einsum("...ij,...j->...i", rot, jnp.asarray(v_local))
+    return jnp.einsum("...ij,...j->...i", rot, jnp.asarray(v_local), precision=lie._HI)
 
 
 def local_to_global_angular_rate(rate_local, rpy):
@@ -79,8 +80,8 @@ def imu_to_ego(acc_imu, gyro_imu, rot_calib, trans_calib=None):
     does); when ``trans_calib`` (ego->imu lever arm, ego coords) is given the
     centrifugal acceleration  w x (w x (-r))  is added.
     """
-    acc = jnp.einsum("...ij,...j->...i", rot_calib, jnp.asarray(acc_imu))
-    gyro = jnp.einsum("...ij,...j->...i", rot_calib, jnp.asarray(gyro_imu))
+    acc = jnp.einsum("...ij,...j->...i", rot_calib, jnp.asarray(acc_imu), precision=lie._HI)
+    gyro = jnp.einsum("...ij,...j->...i", rot_calib, jnp.asarray(gyro_imu), precision=lie._HI)
     if trans_calib is not None:
         r = jnp.asarray(trans_calib)
         centrifugal = jnp.cross(gyro, jnp.cross(gyro, -r))

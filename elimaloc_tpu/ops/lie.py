@@ -300,7 +300,8 @@ def exp_gyro_to_quat(gyro, dt):
 
 def quat_rotate(q, v):
     """Rotate vector(s) v by quaternion q."""
-    return jnp.einsum("...ij,...j->...i", quat_to_rot(q), jnp.asarray(v))
+    return jnp.einsum("...ij,...j->...i", quat_to_rot(q), jnp.asarray(v),
+                      precision=_HI)
 
 
 def euler_residual_from_quats(state_q, meas_q):
@@ -334,12 +335,24 @@ def make_transform(rot, trans):
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def compose(a, b):
+    """Rigid 4x4 compose a @ b at full f32 precision.
+
+    Pose translations at map scale (~100 m) quantize to 0.125-0.5 m under the
+    TPU's default bf16 matmul operands — enough to freeze ICP (a centimeter
+    step rounds back to the same pose). Every pose compose must go through
+    here (or carry an explicit precision=HIGHEST)."""
+    return jnp.matmul(a, b, precision=_HI)
+
+
 def transform_inverse(tf):
     """Closed-form inverse of a rigid 4x4 transform."""
     rot = tf[..., :3, :3]
     trans = tf[..., :3, 3]
     rot_t = jnp.swapaxes(rot, -1, -2)
-    return make_transform(rot_t, -jnp.einsum("...ij,...j->...i", rot_t, trans))
+    return make_transform(
+        rot_t, -jnp.einsum("...ij,...j->...i", rot_t, trans, precision=_HI)
+    )
 
 
 def transform_points(tf, pts):

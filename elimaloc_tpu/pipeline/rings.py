@@ -151,7 +151,7 @@ def get_interpolated_pose(ring: EgoRing, t):
     dt_ex = t - ring.t[last]
     rpy_l = ring.rpy[last]
     rot_l = lie.euler_to_rot(rpy_l)
-    v_glob = rot_l @ ring.vel_local[last]
+    v_glob = jnp.matmul(rot_l, ring.vel_local[last], precision=lie._HI)
     pos_ex = ring.pos[last] + v_glob * dt_ex
     rpy_ex = rpy_l + ring.gyro[last] * dt_ex
     tf_after_ex = lie.make_transform(lie.euler_to_rot(rpy_ex), pos_ex)
@@ -160,11 +160,11 @@ def get_interpolated_pose(ring: EgoRing, t):
     tf_after = jnp.where(found_after, tf_of(after_idx), tf_after_ex)
     t_after = jnp.where(found_after, ring.t[after_idx], t_after_ex)
 
-    between = lie.transform_inverse(tf_before) @ tf_after
+    between = lie.compose(lie.transform_inverse(tf_before), tf_after)
     dt_scan = t - ring.t[before_idx]
     dt_trans = t_after - ring.t[before_idx]
     interp = lie.interpolate_tf_with_time(between, dt_scan, dt_trans)
-    pose = tf_before @ interp
+    pose = lie.compose(tf_before, interp)
     return pose.astype(dtype), found_before
 
 

@@ -174,8 +174,8 @@ def imu_step(state: PipelineState, t, acc_raw, gyro_raw,
     state = state.replace(ekf=ekf)
     state = _push_ego(state)
     # PCM's IMU intake rotates but does not lever-arm compensate (cpp:328).
-    gyro_pcm = pp.ego_to_imu_rot @ gyro_raw
-    acc_pcm = pp.ego_to_imu_rot @ acc_raw
+    gyro_pcm = jnp.matmul(pp.ego_to_imu_rot, gyro_raw, precision=lie._HI)
+    acc_pcm = jnp.matmul(pp.ego_to_imu_rot, acc_raw, precision=lie._HI)
     state = state.replace(
         imu_ring=rings.push_imu(state.imu_ring, t, gyro_pcm, acc_pcm)
     )
@@ -219,8 +219,8 @@ def imu_ring_step(state: PipelineState, t, acc_raw, gyro_raw,
     """PCM-side IMU intake only (no EKF prediction): when use_imu is off the
     matching node still consumes IMU for deskewing (the reference's PCM node
     subscribes IMU independently, pcm_matching.cpp:39, 326-336)."""
-    gyro_pcm = pp.ego_to_imu_rot @ gyro_raw
-    acc_pcm = pp.ego_to_imu_rot @ acc_raw
+    gyro_pcm = jnp.matmul(pp.ego_to_imu_rot, gyro_raw, precision=lie._HI)
+    acc_pcm = jnp.matmul(pp.ego_to_imu_rot, acc_raw, precision=lie._HI)
     return state.replace(
         imu_ring=rings.push_imu(state.imu_ring, t, gyro_pcm, acc_pcm)
     )
@@ -270,7 +270,8 @@ def shape_icp_covariance(rot_ego, local_cov, fitness):
         min2 = jnp.maximum(jnp.min(jnp.diagonal(cov2)), 1e-9)
         return jnp.minimum(cov2 / min2, 5.0)
 
-    t_cov = rot_ego @ local_cov[:3, :3] @ rot_ego.T
+    t_cov = jnp.einsum("ij,jk,lk->il", rot_ego, local_cov[:3, :3],
+                       rot_ego, precision=lie._HI)
     r_cov = local_cov[3:, 3:]
     return normalize(t_cov) * std * std, normalize(r_cov) * angle_std * angle_std
 
@@ -314,10 +315,10 @@ def scan_step(state: PipelineState, stamp, points, rel_raw, valid, tmap,
         pts_d, valid, pp.input_voxel_ds, ps.ds_points
     )
 
-    init_guess = sync_pose @ pp.tf_ego_to_lidar
+    init_guess = lie.compose(sync_pose, pp.tf_ego_to_lidar)
     res = run_register(ds_pts, ds_valid, tmap, init_guess, pp.icp, ps.icp_static)
 
-    icp_ego_pose = res.pose @ pp.tf_lidar_to_ego
+    icp_ego_pose = lie.compose(res.pose, pp.tf_lidar_to_ego)
     rot_ego = icp_ego_pose[:3, :3]
     pos = icp_ego_pose[:3, 3]
     quat = lie.rot_to_quat(rot_ego)
@@ -641,7 +642,9 @@ class LocalizationPipeline:
         pose = np.eye(4)
         pose[:3, :3] = np.asarray(lie.euler_to_rot(jnp.asarray([0.0, 0.0, yaw])))
         pose[:3, 3] = [x, y, ground_z]
-        init_lidar = jnp.asarray(pose, self.dtype) @ self.params.tf_ego_to_lidar
+        init_lidar = lie.compose(
+            jnp.asarray(pose, self.dtype), self.params.tf_ego_to_lidar
+        )
         ds_pts, ds_valid, _ = voxel_downsample(
             jnp.asarray(scan_points, self.dtype), jnp.asarray(scan_valid),
             self.params.input_voxel_ds, self.static.ds_points,
@@ -649,7 +652,7 @@ class LocalizationPipeline:
         res = self._register(ds_pts, ds_valid, self.map, init_lidar)
         if not bool(res.success):
             return state, False
-        final = res.pose @ self.params.tf_lidar_to_ego
+        final = lie.compose(res.pose, self.params.tf_lidar_to_ego)
         state = self._pcm_init_step(
             state, jnp.asarray(timestamp, self.dtype), final
         )

@@ -537,7 +537,9 @@ def run_register(
         x, reg = _solve_step(JTJ, JTr, params.lm_lambda)
         x = jnp.where(overlap_ok, x, jnp.zeros_like(x))
         step_tf = _step_transform(x)
-        pose_new = jnp.where(overlap_ok, pose @ step_tf, pose)
+        # lie.compose, NOT `@`: at default TPU matmul precision (bf16
+        # operands) a centimeter step rounds back into the unchanged pose.
+        pose_new = jnp.where(overlap_ok, lie.compose(pose, step_tf), pose)
 
         rot_norm = jnp.linalg.norm(lie.so3_log(step_tf[:3, :3]))
         transform_norm = rot_norm + jnp.linalg.norm(x[0:3])
