@@ -311,7 +311,7 @@ def scan_step(state: PipelineState, stamp, points, rel_raw, valid, tmap,
     sync_pose, found = rings.get_interpolated_pose(ego_r, scan_end)
     usable = usable & found & (ego_r.count > 0)
 
-    ds_pts, ds_valid, _ = voxel_downsample(
+    ds_pts, ds_valid, ds_kept = voxel_downsample(
         pts_d, valid, pp.input_voxel_ds, ps.ds_points
     )
 
@@ -349,6 +349,10 @@ def scan_step(state: PipelineState, stamp, points, rel_raw, valid, tmap,
         "fitness": res.fitness,
         "overlap": res.overlap,
         "iterations": res.iterations,
+        # capacity diagnostics: nonzero slots_dropped / ds_kept at the budget
+        # ceiling mean the static shape budgets are undersized for this scan
+        "slots_dropped": res.dropped,
+        "ds_kept": ds_kept,
     }
     return new_state, out
 

@@ -118,6 +118,9 @@ class IcpResult:
     local_cov: jnp.ndarray   # [6,6] (JTJ + lambda diag)^-1 — GICP only
     iterations: jnp.ndarray  # int32
     overlap: jnp.ndarray     # last correspondence ratio
+    dropped: jnp.ndarray     # int32 queries dropped on tile-slot overflow
+                             # (0 on the hash backend; nonzero means the
+                             # TileQueryBudget is undersized for this scan)
 
 
 # --------------------------------------------------------------------------- #
@@ -509,6 +512,9 @@ def run_register(
         n = src_local.shape[0]
         safe_idx = jnp.minimum(asg.qidx, n - 1)
         sbuf = jnp.where(asg.qmask[..., None], src_local[safe_idx], 0.0)
+        dropped = asg.dropped.astype(jnp.int32)
+    else:
+        dropped = jnp.asarray(0, jnp.int32)
 
     def cond(carry):
         pose, it, done, failed, fitness, local_cov, overlap = carry
@@ -581,6 +587,7 @@ def run_register(
         local_cov=local_cov,
         iterations=it,
         overlap=overlap,
+        dropped=dropped,
     )
 
 

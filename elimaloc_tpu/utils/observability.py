@@ -23,6 +23,9 @@ def state_dashboard(state: EkfState, cfg=None) -> str:
     P = np.asarray(state.P)
     r2d = 180.0 / math.pi
     lines = ["-" * 40]
+    # GNSS staleness warning (ekf_algorithm.hpp:215-217)
+    if float(state.prev_timestamp) - float(state.prev_gnss_timestamp) > 1.0:
+        lines.append("GNSS Not Updated!")
     if cfg is not None:
         gps = {0: "NavSatFix", 1: "BESTPOS", 2: "Odometry"}.get(int(cfg.gps_type), "?")
         lines.append(
