@@ -66,6 +66,23 @@ class _NativeBuilder:
             self._has_lzf = True
         except AttributeError:
             self._has_lzf = False
+        try:
+            c = ctypes
+            self._c.elm_scan_step_p2p.restype = c.c_int32
+            self._c.elm_scan_step_p2p.argtypes = [
+                c.POINTER(c.c_double), c.POINTER(c.c_double), c.c_int64,
+                c.POINTER(c.c_double), c.POINTER(c.c_double), c.c_int64,
+                c.c_double, c.c_double, c.POINTER(c.c_double),
+                c.POINTER(c.c_int32), c.POINTER(c.c_uint32), c.c_int64,
+                c.c_int64, c.POINTER(c.c_float), c.c_int64, c.c_int64,
+                c.c_double,
+                c.c_double, c.c_double, c.c_double, c.c_double, c.c_double,
+                c.c_double, c.c_int32,
+                c.POINTER(c.c_double), c.POINTER(c.c_double),
+            ]
+            self._has_scan_step = True
+        except AttributeError:
+            self._has_scan_step = False
 
     def insert_points(self, points: np.ndarray, voxel_size: float, max_pts: int):
         n = points.shape[0]
@@ -98,3 +115,49 @@ class _NativeBuilder:
         if n != expected:
             return None
         return bytes(out)
+
+    def scan_step_p2p(self, built, points, rel_times, imu_t, imu_gyro,
+                      scan_cur, scan_end, odom_incre, init_pose, *,
+                      max_range=100.0, ds_voxel=1.5, max_search=5.0,
+                      lm_lambda=0.5, term=0.02, min_overlap=0.4, max_iter=10):
+        """Single-core native per-scan step (native/src/scan_step.cpp):
+        range gate -> deskew -> downsample -> P2P GN/LM ICP over the packed
+        grid. Returns (pose [4,4], ok, fitness) or None when unavailable."""
+        if not self._has_scan_step:
+            return None
+        c = ctypes
+        p = built.max_probe
+        table = np.ascontiguousarray(
+            np.concatenate([built.table, built.table[:p]]), dtype=np.int32)
+        table_fp = np.ascontiguousarray(
+            np.concatenate([built.table_fp, built.table_fp[:p]]),
+            dtype=np.uint32)
+        blocks = np.ascontiguousarray(built.points, dtype=np.float32)
+        pts = np.ascontiguousarray(points, dtype=np.float64)
+        rel = np.ascontiguousarray(rel_times, dtype=np.float64)
+        it = np.ascontiguousarray(imu_t, dtype=np.float64)
+        ig = np.ascontiguousarray(imu_gyro, dtype=np.float64)
+        incre = np.ascontiguousarray(odom_incre, dtype=np.float64)
+        pose = np.ascontiguousarray(init_pose, dtype=np.float64).copy()
+        fit = np.zeros(1, dtype=np.float64)
+        rc = self._c.elm_scan_step_p2p(
+            pts.ctypes.data_as(c.POINTER(c.c_double)),
+            rel.ctypes.data_as(c.POINTER(c.c_double)), len(pts),
+            it.ctypes.data_as(c.POINTER(c.c_double)),
+            ig.ctypes.data_as(c.POINTER(c.c_double)), len(it),
+            float(scan_cur), float(scan_end),
+            incre.ctypes.data_as(c.POINTER(c.c_double)),
+            table.ctypes.data_as(c.POINTER(c.c_int32)),
+            table_fp.ctypes.data_as(c.POINTER(c.c_uint32)),
+            built.table_size, built.max_probe,
+            blocks.ctypes.data_as(c.POINTER(c.c_float)),
+            built.num_voxels, built.max_points_per_voxel,
+            float(built.voxel_size),
+            float(max_range), float(ds_voxel), float(max_search),
+            float(lm_lambda), float(term), float(min_overlap), int(max_iter),
+            pose.ctypes.data_as(c.POINTER(c.c_double)),
+            fit.ctypes.data_as(c.POINTER(c.c_double)),
+        )
+        if rc < 0:
+            return None
+        return pose, rc == 1, float(fit[0])

@@ -318,33 +318,38 @@ def _all_voxel_kernel(meta, tile_ref, qbuf_ref, qvox_ref, *refs):
     qv = qvox_ref[0]
     qb = q.shape[0]
 
-    acc_mean = jnp.zeros((qb, 7, 3), jnp.float32)
-    acc_cov = jnp.zeros((qb, 7, 9), jnp.float32)
-    acc_found = jnp.zeros((qb, 7), jnp.float32)
-    for k in range(9):
-        means = mean_refs[k][0]              # [3, Kp]
-        coords = coord_refs[k][0]            # [3, Kp]
-        covs = cov_refs[k][0]                # [9, Kp]
-        occupied = coords[0] != _COORD_SENTINEL
-        m_safe = jnp.where(occupied[None, :], means, 0.0)
-        for o, off in enumerate(_OFF7):
+    # Functional accumulation (no .at[].add — scatter isn't implemented in
+    # the Pallas TPU lowering): per-offset sums collected in Python lists,
+    # stacked once at the end.
+    found_cols = []
+    mean_cols = []
+    cov_cols = []
+    for o, off in enumerate(_OFF7):
+        found_o = jnp.zeros((qb,), jnp.float32)
+        mean_o = [jnp.zeros((qb,), jnp.float32) for _ in range(3)]
+        cov_o = [jnp.zeros((qb,), jnp.float32) for _ in range(9)]
+        for k in range(9):
+            means = mean_refs[k][0]              # [3, Kp]
+            coords = coord_refs[k][0]            # [3, Kp]
+            covs = cov_refs[k][0]                # [9, Kp]
+            occupied = coords[0] != _COORD_SENTINEL
+            m_safe = jnp.where(occupied[None, :], means, 0.0)
             eq = occupied[None, :]
             for d in range(3):
                 eq = eq & (coords[d][None, :] == (qv[:, d] + off[d])[:, None])
             sel = eq.astype(jnp.float32)     # [QB, Kp]; coords unique -> 0/1 hit
-            acc_found = acc_found.at[:, o].add(jnp.sum(sel, axis=1))
+            found_o = found_o + jnp.sum(sel, axis=1)
             for d in range(3):
-                acc_mean = acc_mean.at[:, o, d].add(
-                    jnp.sum(sel * m_safe[d][None, :], axis=1)
-                )
+                mean_o[d] = mean_o[d] + jnp.sum(sel * m_safe[d][None, :], axis=1)
             for j in range(9):
-                acc_cov = acc_cov.at[:, o, j].add(
-                    jnp.sum(sel * covs[j][None, :], axis=1)
-                )
+                cov_o[j] = cov_o[j] + jnp.sum(sel * covs[j][None, :], axis=1)
+        found_cols.append(found_o)
+        mean_cols.append(jnp.stack(mean_o, axis=-1))   # [QB,3]
+        cov_cols.append(jnp.stack(cov_o, axis=-1))     # [QB,9]
 
-    mean_out[0] = acc_mean
-    cov_out[0] = acc_cov
-    found_out[0] = acc_found
+    mean_out[0] = jnp.stack(mean_cols, axis=1)         # [QB,7,3]
+    cov_out[0] = jnp.stack(cov_cols, axis=1)           # [QB,7,9]
+    found_out[0] = jnp.stack(found_cols, axis=1)       # [QB,7]
 
 
 def all_voxel_cov_pallas(tmap, qbuf, qvox, slot_tile):

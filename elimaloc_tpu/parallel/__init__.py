@@ -3,5 +3,6 @@ from .sharding import (  # noqa: F401
     register_batch_2d,
     register_batch_dp,
     register_sharded,
+    replay_fused_dp,
     replicate,
 )

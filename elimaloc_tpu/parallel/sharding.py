@@ -145,3 +145,33 @@ def replicate(tree, mesh: Mesh):
         lambda x: jax.device_put(x, sharding) if hasattr(x, "shape") else x,
         tree,
     )
+
+
+def replay_fused_dp(states, batches, tmap, pp, ps, mesh: Mesh,
+                    axis: str = "dp"):
+    """Data-parallel FUSED replay: a batch of independent logs, one full
+    pipeline (IMU sub-scan + deskew + ICP + EKF) per ``axis`` shard.
+
+    ``states``/``batches`` carry a leading batch axis (a multiple of the
+    mesh's ``axis`` size); the map and parameters are replicated. This is the
+    fleet/parallel-log-replay scaling mode: zero cross-shard communication,
+    XLA partitions the vmapped program over ICI-connected chips.
+    """
+    from ..pipeline.runtime import replay_fused
+
+    batch_sharding = NamedSharding(mesh, P(axis))
+    states = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding), states
+    )
+    batches = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding), batches
+    )
+    tmap = replicate(tmap, mesh)
+
+    fn = jax.jit(
+        jax.vmap(
+            lambda s, b: replay_fused(s, b, tmap, pp, ps),
+            in_axes=(0, 0),
+        )
+    )
+    return fn(states, batches)

@@ -183,8 +183,11 @@ def synthesize_log(
         pts[si] = local.astype(np.float32)
         ptimes[si] = (rel - span if scan_time_end else rel).astype(np.float32)
         pvalid[si] = True
-    # header stamp convention: scan_time_end -> stamp is the LAST point time
-    header = scan_t if scan_time_end else scan_t - span
+    # header stamp convention: scan_time_end=True -> the stamp is the LAST
+    # point time (points acquired over [st - span, st)); False -> the FIRST
+    # (points over [st, st + span), per-point times positive from the stamp).
+    # Either way the generator's t_abs grid makes scan_t the stamp.
+    header = scan_t
 
     # GPS (local ENU directly; the pipeline can also take lat/lon)
     gps_t = t0 + np.arange(0.5, duration, 1.0 / gps_hz)

@@ -432,15 +432,24 @@ def replay_fused(state: PipelineState, batches, tmap,
     return jax.lax.scan(frame, state, batches)
 
 
+def scan_arrival_times(log: ReplayLog) -> np.ndarray:
+    """Delivery time of each scan = time of its last point. Header-relative
+    point times are non-positive in lidar_scan_time_end mode (arrival ==
+    header) and positive otherwise (arrival == header + sweep)."""
+    rel_last = np.where(log.scan_valid, log.scan_times, -np.inf).max(axis=1)
+    return log.scan_t + np.maximum(rel_last.astype(np.float64), 0.0)
+
+
 def build_fused_batches(log: ReplayLog, dtype=np.float32, time_base: float = 0.0):
     """Group a ReplayLog into per-scan-frame sub-batches with fixed budgets.
     Timestamps are rebased by ``time_base`` (see LocalizationPipeline)."""
     ns = len(log.scan_t)
+    arrival = scan_arrival_times(log)
 
     def bucket(ts, *arrays):
         if ts is None:
             return None
-        idx = np.searchsorted(log.scan_t, ts, side="left")
+        idx = np.searchsorted(arrival, ts, side="left")
         counts = np.bincount(idx[idx < ns], minlength=ns)
         cap = max(int(counts.max()), 1)
         t_b = np.zeros((ns, cap), dtype)
@@ -684,7 +693,15 @@ class LocalizationPipeline:
             t1r = float(self._rebase(log.imu_t[-1]))
             ticks = np.arange(t0r, t1r, 1.0 / self.static.tick_hz)
             events += [("tick", i, t) for i, t in enumerate(ticks)]
-        events += [("scan", i, t) for i, t in enumerate(self._rebase(log.scan_t))]
+        # Scans are DELIVERED when the sweep completes: with
+        # lidar_scan_time_end the header IS the last point time, otherwise
+        # the last point trails the header by up to a sweep (the reference's
+        # callback likewise fires on message arrival, after acquisition).
+        arrival = scan_arrival_times(log)
+        scan_stamps = self._rebase(log.scan_t)
+        events += [
+            ("scan", i, t) for i, t in enumerate(self._rebase(arrival))
+        ]
         if log.gps_t is not None and self.static.use_gps:
             events += [("gps", i, t) for i, t in enumerate(self._rebase(log.gps_t))]
         if log.can_t is not None and self.static.use_can:
@@ -714,7 +731,8 @@ class LocalizationPipeline:
                     traj_rpy.append(np.asarray(es["rpy"]))
             elif kind == "scan":
                 state, out = self._scan_step(
-                    state, tv, jnp.asarray(log.scan_points[i], f),
+                    state, jnp.asarray(scan_stamps[i], f),
+                    jnp.asarray(log.scan_points[i], f),
                     jnp.asarray(log.scan_times[i], f),
                     jnp.asarray(log.scan_valid[i]),
                 )

@@ -1070,7 +1070,11 @@ class CpuPipeline:
         tb = float(time_base if time_base is not None
                    else np.floor(min(log.imu_t[0], log.scan_t[0])))
         events = [("imu", i, float(t) - tb) for i, t in enumerate(log.imu_t)]
-        events += [("scan", i, float(t) - tb) for i, t in enumerate(log.scan_t)]
+        # scans are delivered when the sweep completes (see
+        # pipeline.runtime.scan_arrival_times)
+        rel_last = np.where(log.scan_valid, log.scan_times, -np.inf).max(axis=1)
+        arrival = log.scan_t + np.maximum(rel_last.astype(np.float64), 0.0)
+        events += [("scan", i, float(t) - tb) for i, t in enumerate(arrival)]
         if log.gps_t is not None and self.cfg.ekf.use_gps:
             events += [("gps", i, float(t) - tb) for i, t in enumerate(log.gps_t)]
         if log.can_t is not None and self.cfg.ekf.use_can:
@@ -1081,8 +1085,9 @@ class CpuPipeline:
             if kind == "imu":
                 self.imu_event(t, log.imu_acc[i], log.imu_gyro[i])
             elif kind == "scan":
-                out = self.scan_event(t, log.scan_points[i], log.scan_times[i],
-                                      log.scan_valid[i])
+                out = self.scan_event(
+                    float(log.scan_t[i]) - tb, log.scan_points[i],
+                    log.scan_times[i], log.scan_valid[i])
                 es = self.ekf.get_state()
                 traj_t.append(es["timestamp"] + tb)
                 traj_pos.append(es["pos"])
