@@ -140,6 +140,7 @@ class TestQuarantineGolden:
         js2, _ = step_imu(js, cs, t)
 
 
+@pytest.mark.slow
 class TestTrajectoryParity:
     def test_p2p_pipeline_matches_oracle(self):
         """Full closed-loop parity: JAX pipeline (f64) vs float64 oracle on
@@ -189,6 +190,7 @@ class TestTrajectoryParity:
         assert ate_tpu < 0.25 and ate_cpu < 0.25, (ate_tpu, ate_cpu)
 
 
+@pytest.mark.slow
 class TestByteLevelEndToEnd:
     def test_pcd_map_and_ouster_bytes(self, tmp_path):
         """The reference's actual startup/ingest path: load a PCD map from

@@ -153,6 +153,7 @@ def small_setup(method=IcpMethod.P2P, duration=4.0, seed=5):
     return pipe, log, world
 
 
+@pytest.mark.slow
 class TestEndToEnd:
     def test_fused_replay_tracks_truth(self):
         # The cold-started EKF (P = 100 I, static initial guess, moving

@@ -4,6 +4,7 @@ import copy
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from elimaloc_tpu.config import ElimalocConfig, GpsType, IcpMethod
 from elimaloc_tpu.map import TileQueryBudget
@@ -14,6 +15,9 @@ from elimaloc_tpu.pipeline import (
     synthesize_log,
 )
 
+
+
+pytestmark = pytest.mark.slow  # every test builds/replays a pipeline
 
 def tiny_pipe(gps_hz=1.0, duration=3.0, **ekf_overrides):
     world = make_world(seed=9, extent=70.0, n_ground=60_000, n_wall=30_000)

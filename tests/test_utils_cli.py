@@ -5,6 +5,7 @@ import os
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from elimaloc_tpu.config import EkfConfig
 from elimaloc_tpu.ekf import init_state, make_params
@@ -49,6 +50,7 @@ class TestCheckpoint:
         np.testing.assert_array_equal(np.asarray(s2.pos), [1.0, 2.0, 3.0])
         np.testing.assert_array_equal(np.asarray(s2.P), np.asarray(s.P))
 
+    @pytest.mark.slow
     def test_pipeline_resume_equivalence(self, tmp_path):
         """Saving mid-log and resuming must reproduce the straight-through run."""
         from elimaloc_tpu.ekf import ImuMeas, predict_imu, EkfFlags
@@ -109,6 +111,7 @@ def test_stage_timers():
     assert "a" in t.report()
 
 
+@pytest.mark.slow
 def test_cli_synth_and_replay(tmp_path):
     from elimaloc_tpu import cli
 

@@ -38,6 +38,7 @@ def main():
     pipe, log = bench.build_everything()
     pipe.reset()
     pipe._rebase(min(log.imu_t[0], log.scan_t[0]))
+    jax.config.update("jax_platforms", None) if False else None
     batches = build_fused_batches(log, time_base=pipe.time_base)
     k = 8
     b = {key: v[k] for key, v in batches.items()}
@@ -46,9 +47,15 @@ def main():
     n_imu = b["imu_t"].shape[0]
     print(f"imu window per frame: {n_imu}")
 
-    state = pipe.reset()
-    # warm the state via a couple of real frames
-    st, _ = pipe.run_fused(log)
+    st = pipe.reset()
+    # warm the rings with IMU + one scan (cheaper than a full fused warmup)
+    for k in range(40):
+        st = pipe._imu_step(
+            st, jnp.asarray(0.01 * (k + 1), jnp.float32),
+            jnp.asarray(log.imu_acc[k], jnp.float32),
+            jnp.asarray(log.imu_gyro[k], jnp.float32))
+    st, _ = pipe._scan_step(
+        st, b["scan_t"], pts, b["scan_times"], val)
 
     R = 20
 
