@@ -1,5 +1,6 @@
 """Tile-blocked queries must agree with the hash-grid reference queries."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -133,3 +134,101 @@ def test_assignment_covers_all_queries_with_budget():
     asg = tiles.assign_slots(tmap, q, jnp.ones(512, bool), BUDGET)
     assert int(asg.dropped) == 0
     assert int(asg.qmask.sum()) == 512
+
+
+class TestSlotStaleness:
+    """The ICP inner loop hoists tile-slot assignment out of the GN
+    iterations (register/icp.py:_iteration_slots); the assignment stays valid
+    while the accumulated correction remains within ~(tile_size - voxel) of
+    the initial guess. Drive ICP with an initial error that forces a long
+    walk and check the tile backend tracks the hash backend (which reassigns
+    implicitly every iteration)."""
+
+    def _world(self, rng):
+        ground = np.c_[rng.uniform(-25, 25, (30_000, 2)),
+                       rng.normal(0, 0.05, 30_000)]
+        wall_y = np.c_[rng.uniform(-25, 25, 6000),
+                       np.full(6000, 8.0) + rng.normal(0, 0.05, 6000),
+                       rng.uniform(0, 4, 6000)]
+        wall_x = np.c_[np.full(6000, -6.0) + rng.normal(0, 0.05, 6000),
+                       rng.uniform(-25, 25, 6000),
+                       rng.uniform(0, 4, 6000)]
+        return np.r_[ground, wall_y, wall_x]
+
+    def test_long_walk_within_bound_matches_hash(self):
+        from elimaloc_tpu.config import IcpMethod, PcmConfig
+        from elimaloc_tpu.register import (
+            make_icp_params,
+            make_icp_static,
+            run_register,
+        )
+        from elimaloc_tpu.map import grid as hashgrid
+
+        rng = np.random.default_rng(21)
+        world = self._world(rng)
+        built = build_voxel_map(world, 1.0, 60, use_native=False)
+        tmap = build_tile_map(built, tile_voxels=4).to_device(
+            dtype=jnp.float64)
+        hmap = to_device(built, dtype=jnp.float64)
+
+        scan = world[rng.choice(len(world), 3000, replace=False)]
+        true_pose = np.eye(4)
+        true_pose[:3, 3] = [1.0, 2.0, 0.0]
+        src = jnp.asarray(scan - true_pose[:3, 3])
+        sv = jnp.ones(len(scan), bool)
+        # 1.3 m initial error: needs a multi-iteration walk approaching the
+        # 27-voxel reachability limit, still inside the ~3 m staleness bound
+        init = true_pose.copy()
+        init[:3, 3] += [0.9, -0.9, 0.1]
+
+        cfg = PcmConfig(icp_method=IcpMethod.P2P, max_iteration=30)
+        params = make_icp_params(cfg, dtype=jnp.float64)
+        st_tile = make_icp_static(
+            cfg, backend="tile",
+            tile_budget=tiles.TileQueryBudget(qb=32, max_slots=512))
+        st_hash = make_icp_static(cfg, backend="hash")
+
+        res_t = jax.jit(run_register, static_argnums=5)(
+            src, sv, tmap, jnp.asarray(init), params, st_tile)
+        res_h = jax.jit(run_register, static_argnums=5)(
+            src, sv, hmap, jnp.asarray(init), params, st_hash)
+        assert int(res_t.dropped) == 0
+        assert bool(res_t.success) and bool(res_h.success)
+        # both walk home; the hoisted assignment must not lose
+        # correspondences along the way
+        err_t = np.linalg.norm(np.asarray(res_t.pose)[:3, 3] - true_pose[:3, 3])
+        err_h = np.linalg.norm(np.asarray(res_h.pose)[:3, 3] - true_pose[:3, 3])
+        assert err_h < 0.15, f"hash backend failed to converge: {err_h}"
+        assert err_t < 0.15, f"tile backend failed to converge: {err_t}"
+        np.testing.assert_allclose(
+            np.asarray(res_t.pose)[:3, 3], np.asarray(res_h.pose)[:3, 3],
+            rtol=0, atol=0.02)
+
+    def test_overflowed_budget_reports_dropped(self):
+        from elimaloc_tpu.config import IcpMethod, PcmConfig
+        from elimaloc_tpu.register import (
+            make_icp_params,
+            make_icp_static,
+            run_register,
+        )
+
+        rng = np.random.default_rng(22)
+        world = self._world(rng)
+        built = build_voxel_map(world, 1.0, 20, use_native=False)
+        tmap = build_tile_map(built, tile_voxels=4).to_device(
+            dtype=jnp.float64)
+        scan = world[rng.choice(len(world), 3000, replace=False)]
+        src = jnp.asarray(scan - np.array([1.0, 2.0, 0.0]))
+        sv = jnp.ones(len(scan), bool)
+        init = np.eye(4)
+        init[:3, 3] = [1.0, 2.0, 0.0]
+
+        cfg = PcmConfig(icp_method=IcpMethod.P2P)
+        params = make_icp_params(cfg, dtype=jnp.float64)
+        # deliberately undersized slot budget: dropped must be surfaced
+        st_small = make_icp_static(
+            cfg, backend="tile",
+            tile_budget=tiles.TileQueryBudget(qb=8, max_slots=64))
+        res = jax.jit(run_register, static_argnums=5)(
+            src, sv, tmap, jnp.asarray(init), params, st_small)
+        assert int(res.dropped) > 0, "undersized budget must report drops"
