@@ -44,6 +44,10 @@ def _make_config(args):
         load_localization_ini(args.ini, cfg)
     if getattr(args, "calib", None):
         load_calibration_ini(args.calib, cfg)
+    if getattr(args, "site", None):
+        from .sites import apply_site
+
+        apply_site(cfg, args.site)
     return cfg
 
 
@@ -124,7 +128,7 @@ def cmd_replay(args):
 
     kw = dict(
         ds_points=args.ds_points,
-        tile_budget=TileQueryBudget(qb=64, max_slots=args.max_slots),
+        tile_budget=TileQueryBudget(qb=32, max_slots=args.max_slots),
     )
     pipe = LocalizationPipeline(cfg, map_obj, **kw)
 
@@ -146,6 +150,17 @@ def cmd_replay(args):
     if log.truth_t is not None:
         print(f"ATE RMSE: {ate_rmse(t_arr, pos, log.truth_t, log.truth_pos):.4f} m")
     print(state_dashboard(state.ekf, cfg.ekf))
+    if args.viz:
+        from .utils.viz import export_viz_html
+
+        scans = None if args.fused else traj["scans"]
+        export_viz_html(
+            args.viz, pos,
+            map_points=(map_obj.all_points()
+                        if isinstance(map_obj, BuiltMap) else map_obj),
+            truth_pos=log.truth_pos, scans=scans,
+        )
+        print(f"wrote {args.viz} (open in a browser)")
     if args.traj:
         from .ops import lie
 
@@ -192,6 +207,11 @@ def main(argv=None):
     p.add_argument("--max-slots", type=int, default=1536)
     p.add_argument("--traj", default=None, help="write TUM trajectory")
     p.add_argument("--metrics", default=None, help="write per-scan jsonl")
+    p.add_argument("--viz", default=None,
+                   help="write an interactive HTML replay view")
+    p.add_argument("--site", default=None,
+                   help="site preset (kcity/katri/pangyo/hanyang/stairs): "
+                        "geodetic origin per the reference launch files")
     p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser("bench", help="run the benchmark (one JSON line)")
