@@ -142,10 +142,15 @@ class TestQuarantineGolden:
 
 @pytest.mark.slow
 class TestTrajectoryParity:
-    def test_p2p_pipeline_matches_oracle(self):
+    @pytest.mark.parametrize(
+        "method", [IcpMethod.P2P, IcpMethod.GICP, IcpMethod.VGICP]
+    )
+    def test_pipeline_matches_oracle(self, method):
         """Full closed-loop parity: JAX pipeline (f64) vs float64 oracle on
         the same log. This is the measured stand-in for 'ATE within 1 cm of
-        the C++ reference' (BASELINE.json north star)."""
+        the C++ reference' (BASELINE.json north star). AVGICP is exercised
+        in bench.py only (its voxel-mean accuracy floor makes a tight parity
+        bound meaningless; see tests/test_icp.py)."""
         world = make_world(seed=5, extent=90.0, n_ground=120_000,
                            n_wall=60_000)
         log = synthesize_log(
@@ -153,7 +158,7 @@ class TestTrajectoryParity:
             seed=6, imu_noise_gyro=0.001, imu_noise_acc=0.01,
         )
         cfg = ElimalocConfig()
-        cfg.pcm.icp_method = IcpMethod.P2P
+        cfg.pcm.icp_method = method
         cfg.pcm.input_voxel_ds_m = 1.0
         cfg.ekf.ekf_init_x_m = 60.0
         cfg.ekf.ekf_init_y_m = 0.0
@@ -161,9 +166,13 @@ class TestTrajectoryParity:
         cfg.calib.ego_to_lidar_trans = (0.0, 0.0, 0.0)
         cfg.calib.ego_to_lidar_rot_deg = (0.0, 0.0, 0.0)
         cfg.pcm.lidar_time_delay = 0.0
+        if method == IcpMethod.VGICP:
+            cfg.pcm.max_fitness_score = 2.0  # voxel-mean fitness floor
 
         built = build_voxel_map(
             world, cfg.pcm.pcm_voxel_size, cfg.pcm.pcm_voxel_max_point,
+            compute_voxel_cov=method == IcpMethod.VGICP,
+            compute_point_cov=method == IcpMethod.GICP,
             use_native=False,
         )
         pipe = LocalizationPipeline(
