@@ -278,9 +278,15 @@ def bench_methods():
         use_native=True,
     )
     out = {}
-    for method in (IcpMethod.P2P, IcpMethod.GICP, IcpMethod.VGICP,
-                   IcpMethod.AVGICP):
+    # BASELINE config 5 flagship: AVGICP with the full PCM/GPS/CAN fusion
+    cases = [(m, False) for m in (IcpMethod.P2P, IcpMethod.GICP,
+                                  IcpMethod.VGICP, IcpMethod.AVGICP)]
+    cases.append((IcpMethod.AVGICP, True))
+    for method, full_fusion in cases:
         cfg = _cfg(method)
+        if full_fusion:
+            cfg.ekf.use_gps = True
+            cfg.ekf.use_can = True
         pipe = LocalizationPipeline(
             cfg, built, ds_points=4096,
             tile_budget=TileQueryBudget(qb=32, max_slots=768, pallas=False),
@@ -301,7 +307,8 @@ def bench_methods():
         n = min(len(pos), len(ctraj["pos"]))
         err = np.linalg.norm(pos[:n] - ctraj["pos"][:n], axis=1)
         parity = float(np.sqrt(np.mean(err ** 2)))
-        out[method.name] = {
+        name = method.name + ("+GPS+CAN" if full_fusion else "")
+        out[name] = {
             "scans_per_s": round(len(log.scan_t) / dt, 2),
             "ate_m": round(ate, 4),
             "oracle_parity_ate_m": round(parity, 4),

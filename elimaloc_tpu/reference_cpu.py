@@ -683,6 +683,34 @@ class IcpNpParams:
     term: float = 0.02
     min_overlap: float = 0.4
     max_fitness: float = 0.5
+    use_radar_cov: bool = False
+    range_variance_m: float = 0.1
+    azimuth_variance_deg: float = 0.5
+    elevation_variance_deg: float = 1.0
+
+
+def radar_point_cov_np(points, range_var, azi_var_deg, ele_var_deg):
+    """Per-point range/azimuth/elevation covariance (CalPointCov,
+    registration.hpp:186-208). Quirk preserved: returns R @ S (no R^T)."""
+    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    dist = np.sqrt(x * x + y * y)
+    s_x = np.full_like(dist, range_var)
+    s_y = np.maximum(0.1, dist * np.sin(azi_var_deg * _D2R))
+    s_z = np.maximum(0.1, dist * np.sin(ele_var_deg * _D2R))
+    ele = np.arctan2(z, dist)
+    azi = np.arctan2(y, x)
+    cy, sy = np.cos(azi), np.sin(azi)
+    cp, sp = np.cos(ele), np.sin(ele)
+    zero = np.zeros_like(azi)
+    R = np.stack(
+        [np.stack([cy * cp, -sy, cy * sp], -1),
+         np.stack([sy * cp, cy, sy * sp], -1),
+         np.stack([-sp, zero, cp], -1)], axis=-2)
+    S = np.zeros(points.shape[:-1] + (3, 3))
+    S[..., 0, 0] = s_x
+    S[..., 1, 1] = s_y
+    S[..., 2, 2] = s_z
+    return np.einsum("kij,kjl->kil", R, S)
 
 
 def _gn_solve(src_local, tgt_local_mean, maha, w, lm_lambda):
@@ -718,6 +746,13 @@ def icp_np(grid: CpuVoxelGrid, src_local, init_pose, p: IcpNpParams):
     fitness = 0.0
     local_cov = np.eye(6)
     method = p.method
+    radar_all = None
+    if p.use_radar_cov:
+        # computed once from the initially-transformed cloud (cpp:302-305)
+        init_global = src_local @ pose[:3, :3].T + pose[:3, 3]
+        radar_all = radar_point_cov_np(
+            init_global, p.range_variance_m, p.azimuth_variance_deg,
+            p.elevation_variance_deg)
     for _ in range(p.max_iter):
         src_global = src_local @ pose[:3, :3].T + pose[:3, 3]
         inv = np.linalg.inv(pose)
@@ -747,6 +782,8 @@ def icp_np(grid: CpuVoxelGrid, src_local, init_pose, p: IcpNpParams):
                 r2 = np.einsum("ki,ki->k", cm - sl, cm - sl)
                 w = p.max_search ** 2 / (p.max_search + r2) ** 2 * 0.8 + 0.2
                 RCR = np.einsum("ij,kjl,ml->kim", rot_inv, cov[valid], rot_inv)
+                if radar_all is not None:
+                    RCR = RCR + radar_all[valid]
                 maha = np.linalg.inv(RCR)
                 x, reg, r = _gn_solve(sl, cm, maha, w, p.lm_lambda)
                 nrm = _smallest_eigvec_batch(cov[valid]) @ rot_inv.T
@@ -775,6 +812,10 @@ def icp_np(grid: CpuVoxelGrid, src_local, init_pose, p: IcpNpParams):
             w = p.max_search ** 2 / (p.max_search + r2) ** 2
             keep = w >= 0.01  # cutoff (cpp:199-201)
             RCR = np.einsum("ij,kjl,ml->kim", rot_inv, cov_f[val_f], rot_inv)
+            if radar_all is not None:
+                rf = (radar_all if method == int(IcpMethod.VGICP)
+                      else np.repeat(radar_all, valid.shape[1], axis=0))
+                RCR = RCR + rf[val_f]
             maha = np.linalg.inv(RCR)
             x, reg, r = _gn_solve(sl[keep], ml[keep], maha[keep], w[keep],
                                   p.lm_lambda)

@@ -249,3 +249,55 @@ def test_padding_invariance():
         np.asarray(res_a.pose), np.asarray(res_b.pose), atol=1e-9
     )
     assert float(res_a.fitness) == pytest.approx(float(res_b.fitness), abs=1e-12)
+
+
+def test_radar_cov_gicp_matches_oracle():
+    """use_radar_cov: the per-point range/azimuth/elevation covariance is
+    computed once from the initially-transformed cloud and ADDED to the
+    rotated target covariance before inversion (registration.cpp:302-305,
+    109-111), with the R @ S (no R^T) scaling quirk (hpp:186-208). Golden
+    against the float64 oracle."""
+    from elimaloc_tpu import reference_cpu as oracle
+    from elimaloc_tpu.register.icp import radar_point_cov
+
+    map_pts = make_world()
+    true_pose = pose_xyzyaw(3.0, 1.0, 0.0, 0.5)
+    init_pose = pose_xyzyaw(3.2, 0.85, 0.05, 0.52)
+
+    # unit: the per-point covariance itself
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-20, 20, (64, 3))
+    cfg = PcmConfig(icp_method=IcpMethod.GICP, use_radar_cov=True)
+    params = make_icp_params(cfg, dtype=jnp.float64)
+    got = np.asarray(radar_point_cov(jnp.asarray(pts), params))
+    want = oracle.radar_point_cov_np(
+        pts, cfg.range_variance_m, cfg.azimuth_variance_deg,
+        cfg.elevation_variance_deg)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+    # end-to-end: GICP with radar cov, jax (f64, hash backend) vs oracle
+    built = build_voxel_map(
+        map_pts, cfg.pcm_voxel_size, cfg.pcm_voxel_max_point,
+        compute_point_cov=True, gicp_cov_search_dist=cfg.gicp_cov_search_dist,
+        use_native=False,
+    )
+    grid = to_device(built, dtype=jnp.float64)
+    scan = make_scan(map_pts, true_pose, n=1024)
+    static = make_icp_static(cfg, backend="hash")
+    res = jax.jit(run_register, static_argnums=5)(
+        jnp.asarray(scan), jnp.ones(len(scan), bool), grid,
+        jnp.asarray(init_pose), params, static,
+    )
+    cgrid = oracle.CpuVoxelGrid(built)
+    p = oracle.IcpNpParams(
+        method=int(IcpMethod.GICP), use_radar_cov=True,
+        range_variance_m=cfg.range_variance_m,
+        azimuth_variance_deg=cfg.azimuth_variance_deg,
+        elevation_variance_deg=cfg.elevation_variance_deg,
+        max_fitness=np.inf,
+    )
+    pose_np, ok, fit, _ = oracle.icp_np(cgrid, scan, init_pose, p)
+    assert ok
+    np.testing.assert_allclose(
+        np.asarray(res.pose), pose_np, rtol=0, atol=5e-4)
+    assert float(res.fitness) == pytest.approx(fit, abs=2e-3)
