@@ -377,59 +377,66 @@ def pcm_init_step(state: PipelineState, t, pose, pp: PipelineParams,
 # Fully-fused replay (one compiled program per log shape)
 # --------------------------------------------------------------------------- #
 
-def replay_fused(state: PipelineState, batches, tmap,
-                 pp: PipelineParams, ps: PipelineStatic):
-    """lax.scan over scan frames; each step consumes that frame's IMU / CAN /
-    GPS sub-batches (masked fixed budgets) then the scan itself. Event order
-    within an inter-scan window is imu -> can -> gps -> scan.
+def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
+                ps: PipelineStatic):
+    """One scan frame: the frame's IMU / CAN / GPS sub-batches (masked fixed
+    budgets) then the scan itself. Event order within an inter-scan window is
+    imu -> can -> gps -> scan. Shared by the whole-log fused replay
+    (:func:`replay_fused`) and the per-frame streaming mode
+    (:meth:`LocalizationPipeline.run_frames`)."""
 
-    ``batches`` comes from :func:`build_fused_batches`.
-    """
+    def imu_body(s, x):
+        t, acc, gyro, v = x
+        s2 = imu_step(s, t, acc, gyro, pp, ps)
+        return _select_state(v, s2, s), None
 
-    def frame(st, b):
-        def imu_body(s, x):
-            t, acc, gyro, v = x
-            s2 = imu_step(s, t, acc, gyro, pp, ps)
+    st = jax.lax.scan(
+        imu_body, st,
+        (b["imu_t"], b["imu_acc"], b["imu_gyro"], b["imu_valid"]),
+    )[0]
+
+    if ps.use_can:
+        def can_body(s, x):
+            t, vel, yr, v = x
+            s2 = can_step(s, t, vel, yr, pp, ps)
             return _select_state(v, s2, s), None
 
         st = jax.lax.scan(
-            imu_body, st,
-            (b["imu_t"], b["imu_acc"], b["imu_gyro"], b["imu_valid"]),
+            can_body, st,
+            (b["can_t"], b["can_vel"], b["can_yaw"], b["can_valid"]),
         )[0]
 
-        if ps.use_can:
-            def can_body(s, x):
-                t, vel, yr, v = x
-                s2 = can_step(s, t, vel, yr, pp, ps)
-                return _select_state(v, s2, s), None
+    if ps.use_gps:
+        def gps_body(s, x):
+            t, pos, cov, v = x
+            s2 = gps_step(s, t, pos, cov, pp, ps)
+            return _select_state(v, s2, s), None
 
-            st = jax.lax.scan(
-                can_body, st,
-                (b["can_t"], b["can_vel"], b["can_yaw"], b["can_valid"]),
-            )[0]
+        st = jax.lax.scan(
+            gps_body, st,
+            (b["gps_t"], b["gps_pos"], b["gps_cov"], b["gps_valid"]),
+        )[0]
 
-        if ps.use_gps:
-            def gps_body(s, x):
-                t, pos, cov, v = x
-                s2 = gps_step(s, t, pos, cov, pp, ps)
-                return _select_state(v, s2, s), None
+    st, out = scan_step(
+        st, b["scan_t"], b["scan_points"], b["scan_times"],
+        b["scan_valid"], tmap, pp, ps,
+    )
+    es = ego_state(st.ekf)
+    out["ego_pos"] = es["pos"]
+    out["ego_rpy"] = es["rpy"]
+    out["ego_t"] = es["timestamp"]
+    return st, out
 
-            st = jax.lax.scan(
-                gps_body, st,
-                (b["gps_t"], b["gps_pos"], b["gps_cov"], b["gps_valid"]),
-            )[0]
 
-        st, out = scan_step(
-            st, b["scan_t"], b["scan_points"], b["scan_times"],
-            b["scan_valid"], tmap, pp, ps,
-        )
-        es = ego_state(st.ekf)
-        out["ego_pos"] = es["pos"]
-        out["ego_rpy"] = es["rpy"]
-        out["ego_t"] = es["timestamp"]
-        return st, out
+def replay_fused(state: PipelineState, batches, tmap,
+                 pp: PipelineParams, ps: PipelineStatic):
+    """lax.scan of :func:`fused_frame` over all scan frames.
 
-    return jax.lax.scan(frame, state, batches)
+    ``batches`` comes from :func:`build_fused_batches`.
+    """
+    return jax.lax.scan(
+        lambda st, b: fused_frame(st, b, tmap, pp, ps), state, batches
+    )
 
 
 def scan_arrival_times(log: ReplayLog) -> np.ndarray:
@@ -581,6 +588,9 @@ class LocalizationPipeline:
         # would defeat the jit cache and recompile every run.
         self._fused = jax.jit(
             functools.partial(replay_fused, pp=self.params, ps=self.static)
+        )
+        self._frame = jax.jit(
+            functools.partial(fused_frame, pp=self.params, ps=self.static)
         )
         self._register = jax.jit(
             functools.partial(run_register, params=self.params.icp,
@@ -764,6 +774,37 @@ class LocalizationPipeline:
             "scans": scan_log,
         }
         return state, traj
+
+    # ---- frame-batched streaming (the online serving mode) ----
+    def run_frames(self, log: ReplayLog,
+                   state: Optional[PipelineState] = None):
+        """Streaming replay at fused efficiency: ONE jitted call per scan
+        frame (that frame's IMU/CAN/GPS sub-batch + the scan), host loop
+        across frames. This is the online mode — per-event dispatch
+        (:meth:`run`) costs a host round-trip per sensor message, which is
+        orders of magnitude slower over a remote-attached accelerator, while
+        a frame is one dispatch per LiDAR period. Returns (state, outs) with
+        the same fields as :meth:`run_fused`."""
+        state = state if state is not None else self.reset()
+        self._rebase(min(log.imu_t[0], log.scan_t[0]))
+        batches = build_fused_batches(log, time_base=self.time_base)
+        outs = []
+        n = len(log.scan_t)
+        for k in range(n):
+            b = jax.tree_util.tree_map(lambda x: x[k], batches)
+            state, out = self._frame(state, b, self.map)
+            outs.append(out)
+        # stack on device, read back once (each host sync costs a full
+        # round-trip on a remote-attached accelerator)
+        stacked_dev = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs
+        )
+        stacked = {k: np.asarray(v)
+                   for k, v in jax.device_get(stacked_dev).items()}
+        stacked["ego_t_abs"] = (
+            np.asarray(stacked["ego_t"], np.float64) + self.time_base
+        )
+        return state, stacked
 
     # ---- fused replay ----
     def run_fused(self, log: ReplayLog, state: Optional[PipelineState] = None):

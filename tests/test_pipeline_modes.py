@@ -144,3 +144,14 @@ def test_fused_matches_host_with_gps_and_can():
     np.testing.assert_allclose(
         traj["pos"][-1], np.asarray(outs["ego_pos"])[-1], atol=0.15
     )
+
+
+def test_run_frames_matches_fused():
+    """The frame-streamed online mode is the same program as the fused
+    replay, dispatched one frame at a time; results must match bit-tight."""
+    pipe, log = tiny_pipe(duration=2.0)
+    _, of = pipe.run_fused(log)
+    _, osf = pipe.run_frames(log)
+    np.testing.assert_allclose(
+        np.asarray(of["ego_pos"]), osf["ego_pos"], rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(of["applied"]), osf["applied"])
