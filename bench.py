@@ -38,7 +38,7 @@ RAW_POINTS = int(os.environ.get("BENCH_RAW_POINTS", 131072))
 INDEX_SAMPLING = 5          # reference: input_index_sampling (ini :88)
 N_SCANS = int(os.environ.get("BENCH_SCANS", 40))
 CPU_SCANS = int(os.environ.get("BENCH_CPU_SCANS", 3))
-METHOD_SCANS = int(os.environ.get("BENCH_METHOD_SCANS", 20))
+METHOD_SCANS = int(os.environ.get("BENCH_METHOD_SCANS", 15))
 SKIP_METHODS = bool(int(os.environ.get("BENCH_SKIP_METHODS", "0")))
 RTT = 0.035                 # axon relay round-trip, measured
 
@@ -101,12 +101,15 @@ def bench_tpu(pipe, log):
     host_prep = time.time() - t0
     _, outs = pipe._fused(state, batches, pipe.map)  # compile + run
     float(jnp.sum(outs["ego_pos"]))
-    state2 = pipe.reset()
-    pipe.time_base = tb
-    t0 = time.time()
-    state, outs = pipe._fused(state2, batches, pipe.map)
-    float(jnp.sum(outs["ego_pos"]))
-    dt = max(time.time() - t0 - RTT, 1e-9)
+    # best-of-2: the shared relay/host shows 1.5-2x run-to-run variance
+    dt = np.inf
+    for _ in range(2):
+        state2 = pipe.reset()
+        pipe.time_base = tb
+        t0 = time.time()
+        state, outs = pipe._fused(state2, batches, pipe.map)
+        float(jnp.sum(outs["ego_pos"]))
+        dt = min(dt, max(time.time() - t0 - RTT, 1e-9))
     outs["ego_t_abs"] = np.asarray(outs["ego_t"], np.float64) + tb
     n = len(log.scan_t)
     t_abs = np.asarray(outs["ego_t_abs"])
@@ -124,6 +127,24 @@ def bench_tpu(pipe, log):
         f"downsample budget saturated: kept {ds_kept} of {pipe.static.ds_points}"
     )
     return n / dt, ate, ate_tail, applied, ds_kept, host_prep
+
+
+def bench_streaming(pipe, log):
+    """Frame-streamed online mode (run_frames): one dispatch per scan frame,
+    single end-of-run readback. Batches are prebuilt (steady-state — host
+    prep is per-log, reported as host_batch_prep_s)."""
+    from elimaloc_tpu.pipeline.runtime import build_fused_batches
+
+    pipe.reset()
+    pipe._rebase(min(log.imu_t[0], log.scan_t[0]))
+    batches = build_fused_batches(log, time_base=pipe.time_base)
+    pipe.run_frames(log, batches=batches)   # compile + run
+    best = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        pipe.run_frames(log, batches=batches)
+        best = min(best, max(time.time() - t0 - RTT, 1e-9))
+    return len(log.scan_t) / best
 
 
 def bench_ekf_steps(pipe):
@@ -294,10 +315,12 @@ def bench_methods():
         )
         state, outs = pipe.run_fused(log)
         float(jnp.sum(outs["ego_pos"]))
-        t0 = time.time()
-        state, outs = pipe.run_fused(log)
-        float(jnp.sum(outs["ego_pos"]))
-        dt = max(time.time() - t0 - RTT, 1e-9)
+        dt = np.inf
+        for _ in range(2):
+            t0 = time.time()
+            state, outs = pipe.run_fused(log)
+            float(jnp.sum(outs["ego_pos"]))
+            dt = min(dt, max(time.time() - t0 - RTT, 1e-9))
         pos = np.asarray(outs["ego_pos"])
         t_abs = np.asarray(outs["ego_t_abs"])
         ate = ate_rmse(t_abs, pos, log.truth_t, log.truth_pos)
@@ -320,6 +343,7 @@ def bench_methods():
 def main():
     pipe, log = build_everything()
     tpu_sps, ate, ate_tail, applied, ds_kept, host_prep = bench_tpu(pipe, log)
+    stream_sps = bench_streaming(pipe, log)
     icp_sps = bench_icp_batched(pipe, log)
     ekf_sps = bench_ekf_steps(pipe)
     cpu_native_sps = bench_cpu_native(pipe, log)
@@ -342,6 +366,7 @@ def main():
                     round(cpu_native_sps, 3) if cpu_native_sps else None
                 ),
                 "cpu_numpy_scans_per_s": round(cpu_numpy_sps, 3),
+                "streaming_scans_per_s": round(stream_sps, 2),
                 "icp_batched_scans_per_s": round(icp_sps, 2),
                 "ekf_steps_per_s": round(ekf_sps, 1),
                 "ate_rmse_m": round(ate, 4),

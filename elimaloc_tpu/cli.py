@@ -100,7 +100,20 @@ def cmd_replay(args):
 
     cfg = _make_config(args)
     log = ReplayLog.load(args.log)
-    map_obj = _load_map_points(args.map)
+    map_path = args.map
+    if map_path is None and getattr(args, "site", None):
+        from .sites import SITES
+
+        map_path = SITES[args.site].map_path
+        if map_path is None or not __import__("os").path.exists(map_path):
+            raise SystemExit(
+                f"--map not given and the {args.site!r} preset's default map "
+                f"({map_path}) does not exist here; pass --map explicitly"
+            )
+    if map_path is None:
+        raise SystemExit("--map is required (or --site with its map present)")
+    args.map = map_path
+    map_obj = _load_map_points(map_path)
 
     # reference map filenames encode the geodetic origin (launch files)
     if args.map.endswith(".pcd"):
@@ -199,7 +212,9 @@ def main(argv=None):
 
     p = sub.add_parser("replay", help="replay a log against a map")
     p.add_argument("--log", required=True)
-    p.add_argument("--map", required=True)
+    p.add_argument("--map", default=None,
+                   help="map points/PCD/BuiltMap (defaults to the --site "
+                        "preset's map path when present)")
     p.add_argument("--ini", default=None)
     p.add_argument("--calib", default=None)
     p.add_argument("--fused", action="store_true")

@@ -157,8 +157,6 @@ def replay_fused_dp(states, batches, tmap, pp, ps, mesh: Mesh,
     fleet/parallel-log-replay scaling mode: zero cross-shard communication,
     XLA partitions the vmapped program over ICI-connected chips.
     """
-    from ..pipeline.runtime import replay_fused
-
     batch_sharding = NamedSharding(mesh, P(axis))
     states = jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding), states
@@ -167,11 +165,21 @@ def replay_fused_dp(states, batches, tmap, pp, ps, mesh: Mesh,
         lambda x: jax.device_put(x, batch_sharding), batches
     )
     tmap = replicate(tmap, mesh)
+    return _replay_fused_dp_jit(states, batches, tmap, pp, ps)
 
-    fn = jax.jit(
-        jax.vmap(
-            lambda s, b: replay_fused(s, b, tmap, pp, ps),
-            in_axes=(0, 0),
-        )
+
+@functools.cache
+def _replay_dp_inner():
+    # deferred: pipeline.runtime imports this package
+    from ..pipeline.runtime import replay_fused
+
+    return jax.jit(
+        jax.vmap(replay_fused, in_axes=(0, 0, None, None, None)),
+        static_argnums=(4,),
     )
-    return fn(states, batches)
+
+
+def _replay_fused_dp_jit(states, batches, tmap, pp, ps):
+    """Module-level jit cache: a fresh closure per call would re-trace and
+    recompile the fused pipeline on every invocation."""
+    return _replay_dp_inner()(states, batches, tmap, pp, ps)

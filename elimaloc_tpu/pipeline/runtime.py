@@ -452,6 +452,21 @@ def build_fused_batches(log: ReplayLog, dtype=np.float32, time_base: float = 0.0
     Timestamps are rebased by ``time_base`` (see LocalizationPipeline)."""
     ns = len(log.scan_t)
     arrival = scan_arrival_times(log)
+    # Frames are bucketed by DELIVERY time; with jittered sweeps arrival can
+    # be non-monotonic even when headers are sorted, and searchsorted over an
+    # unsorted array would silently mis-bucket events. Process frames in
+    # arrival order (the reference's callbacks likewise fire in arrival
+    # order) and keep the scan arrays aligned.
+    order = np.argsort(arrival, kind="stable")
+    if not np.array_equal(order, np.arange(ns)):
+        arrival = arrival[order]
+        log = dataclasses.replace(
+            log,
+            scan_t=log.scan_t[order],
+            scan_points=log.scan_points[order],
+            scan_times=log.scan_times[order],
+            scan_valid=log.scan_valid[order],
+        )
 
     def bucket(ts, *arrays):
         if ts is None:
@@ -777,7 +792,7 @@ class LocalizationPipeline:
 
     # ---- frame-batched streaming (the online serving mode) ----
     def run_frames(self, log: ReplayLog,
-                   state: Optional[PipelineState] = None):
+                   state: Optional[PipelineState] = None, *, batches=None):
         """Streaming replay at fused efficiency: ONE jitted call per scan
         frame (that frame's IMU/CAN/GPS sub-batch + the scan), host loop
         across frames. This is the online mode — per-event dispatch
@@ -787,7 +802,8 @@ class LocalizationPipeline:
         the same fields as :meth:`run_fused`."""
         state = state if state is not None else self.reset()
         self._rebase(min(log.imu_t[0], log.scan_t[0]))
-        batches = build_fused_batches(log, time_base=self.time_base)
+        if batches is None:
+            batches = build_fused_batches(log, time_base=self.time_base)
         outs = []
         n = len(log.scan_t)
         for k in range(n):

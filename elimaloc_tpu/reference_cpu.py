@@ -806,7 +806,7 @@ def icp_np(grid: CpuVoxelGrid, src_local, init_pose, p: IcpNpParams):
             # AVGICP quirk: PAIR count vs point count, can exceed 1 (cpp:349)
             if matched / n < p.min_overlap:
                 return pose, False, fitness, local_cov
-            sl = (sl_rep if sl_rep.ndim == 2 else sl_rep)[val_f]
+            sl = sl_rep[val_f]
             ml = mean_f[val_f] @ inv[:3, :3].T + inv[:3, 3]
             r2 = np.einsum("ki,ki->k", ml - sl, ml - sl)
             w = p.max_search ** 2 / (p.max_search + r2) ** 2

@@ -145,6 +145,11 @@ def export_viz_html(path, est_pos, *, map_points=None, truth_pos=None,
         ellipse parameters.
     """
     est = np.asarray(est_pos, float)
+    if est.size == 0:
+        raise ValueError(
+            "export_viz_html: empty estimated trajectory (no scan events "
+            "fired?) — nothing to render"
+        )
     data = {
         "est": est[:, :2].round(3).tolist(),
         "truth": [],

@@ -206,3 +206,48 @@ def test_log_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(log.imu_t, log2.imu_t)
     np.testing.assert_array_equal(log.scan_points, log2.scan_points)
     np.testing.assert_array_equal(log.truth_pos, log2.truth_pos)
+
+
+def test_fused_batches_nonmonotonic_arrival():
+    """Jittered sweeps can deliver scans out of header order: scan A stamped
+    10.00 whose last point is +0.12 arrives AFTER scan B stamped 10.05 with
+    last point +0.05. Bucketing must follow arrival order (searchsorted over
+    an unsorted array would silently mis-bucket events)."""
+    from elimaloc_tpu.pipeline.runtime import (
+        build_fused_batches,
+        scan_arrival_times,
+    )
+
+    n = 16
+    scan_points = np.zeros((2, n, 3), np.float32)
+    scan_valid = np.ones((2, n), bool)
+    scan_times = np.stack([
+        np.linspace(0.0, 0.12, n).astype(np.float32),   # arrival 10.12
+        np.linspace(0.0, 0.05, n).astype(np.float32),   # arrival 10.10
+    ])
+    imu_t = np.array([10.02, 10.07, 10.11, 10.115, 10.125])
+    log = ReplayLog(
+        imu_t=imu_t,
+        imu_acc=np.zeros((5, 3)),
+        imu_gyro=np.zeros((5, 3)),
+        scan_t=np.array([10.00, 10.05]),
+        scan_points=scan_points,
+        scan_times=scan_times,
+        scan_valid=scan_valid,
+    )
+    arrival = scan_arrival_times(log)
+    np.testing.assert_allclose(arrival, [10.12, 10.10])
+    b = build_fused_batches(log, time_base=10.0)
+    # frames are processed in ARRIVAL order: frame 0 == the scan arriving at
+    # 10.10 (header 10.05), frame 1 == 10.12 (header 10.00)
+    np.testing.assert_allclose(np.asarray(b["scan_t"]), [0.05, 0.00],
+                               atol=1e-6)
+    # imu events at 10.02/10.07 precede the first arrival; 10.11/10.115 fall
+    # between the arrivals -> frame 1; 10.125 is after the last arrival and
+    # is dropped (no frame to attach to)
+    v = np.asarray(b["imu_valid"])
+    t = np.asarray(b["imu_t"])
+    frame0 = sorted(t[0][v[0]])
+    frame1 = sorted(t[1][v[1]])
+    np.testing.assert_allclose(frame0, [0.02, 0.07], atol=1e-6)
+    np.testing.assert_allclose(frame1, [0.11, 0.115], atol=1e-6)
