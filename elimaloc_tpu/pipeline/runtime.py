@@ -428,6 +428,16 @@ def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
     return st, out
 
 
+def fused_frame_at(state: PipelineState, batches, k, tmap,
+                   pp: PipelineParams, ps: PipelineStatic):
+    """:func:`fused_frame` for frame ``k`` of a whole-log batch tensor —
+    the slice happens INSIDE the jitted program (one dispatch per frame;
+    host-side tree slicing costs ~a dozen extra device calls per frame on a
+    remote-attached accelerator)."""
+    b = jax.tree_util.tree_map(lambda x: x[k], batches)
+    return fused_frame(state, b, tmap, pp, ps)
+
+
 def replay_fused(state: PipelineState, batches, tmap,
                  pp: PipelineParams, ps: PipelineStatic):
     """lax.scan of :func:`fused_frame` over all scan frames.
@@ -606,6 +616,9 @@ class LocalizationPipeline:
         )
         self._frame = jax.jit(
             functools.partial(fused_frame, pp=self.params, ps=self.static)
+        )
+        self._frame_at = jax.jit(
+            functools.partial(fused_frame_at, pp=self.params, ps=self.static)
         )
         self._register = jax.jit(
             functools.partial(run_register, params=self.params.icp,
@@ -807,8 +820,9 @@ class LocalizationPipeline:
         outs = []
         n = len(log.scan_t)
         for k in range(n):
-            b = jax.tree_util.tree_map(lambda x: x[k], batches)
-            state, out = self._frame(state, b, self.map)
+            state, out = self._frame_at(
+                state, batches, jnp.asarray(k, jnp.int32), self.map
+            )
             outs.append(out)
         # stack on device, read back once (each host sync costs a full
         # round-trip on a remote-attached accelerator)
