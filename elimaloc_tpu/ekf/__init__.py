@@ -10,6 +10,7 @@ from .state import (  # noqa: F401
 from .filter import (  # noqa: F401
     EkfFlags,
     ego_state,
+    imu_calibration,
     init_state,
     predict,
     predict_imu,

@@ -655,6 +655,12 @@ def update_can(state: EkfState, can: CanMeas, params: EkfParams,
 # EgoState output (ekf_algorithm.cpp:778-833)
 # --------------------------------------------------------------------------- #
 
+def imu_calibration(state: EkfState):
+    """Estimated vehicle->IMU mounting rotation as Euler angles (radians) —
+    GetImuCalibration equivalent (ekf_algorithm.cpp:835-838)."""
+    return lie.rot_to_euler(lie.quat_to_rot(state.imu_rot))
+
+
 def ego_state(state: EkfState):
     """Pure output function: the published odometry-view of the filter.
 
