@@ -64,36 +64,37 @@ def _skew_batch(v):
 
 
 def _exp_so3(v):
+    """Exp (hpp:409-419) — identity below the reference's 1e-5 threshold."""
     th = np.linalg.norm(v)
-    if th < 1e-9:
+    if th < 1e-5:
         return np.eye(3)
     k = _skew(np.asarray(v) / th)
     return np.eye(3) + np.sin(th) * k + (1 - np.cos(th)) * (k @ k)
 
 
 def _log_so3(R):
+    """Log (hpp:393-403) — zero below the reference's 1e-5 threshold."""
     cos_t = np.clip((np.trace(R) - 1.0) / 2.0, -1.0, 1.0)
     th = np.arccos(cos_t)
-    if abs(th) < 1e-7:
+    if abs(th) < 1e-5:
         return np.zeros(3)
     m = (R - R.T) / (2.0 * np.sin(th))
     return th * np.array([m[2, 1], m[0, 2], m[1, 0]])
 
 
 def _right_jacobian(gyro, dt):
-    """PartialDerivativeRotWrtGyro (hpp:466-483)."""
+    """PartialDerivativeRotWrtGyro (hpp:466-483): the reference's exact
+    formula (normalized K, theta powers) and its ZERO below 1e-5."""
     v = np.asarray(gyro) * dt
     th = np.linalg.norm(v)
-    if th < 1e-9:
-        return np.eye(3) * dt
-    a = v / th
-    k = _skew(a)
-    jr = (
+    if th < 1e-5:
+        return np.zeros((3, 3))
+    k = _skew(v / th)
+    return dt * (
         np.eye(3)
-        - (1 - np.cos(th)) / th * k
-        + (1 - np.sin(th) / th) * (k @ k)
+        + (1 - np.cos(th)) / th**2 * k
+        + (th - np.sin(th)) / th**3 * (k @ k)
     )
-    return jr * dt
 
 
 def quat_mul(a, b):
@@ -386,9 +387,12 @@ class CpuEkf:
             return
         self.bg = self.bg + gamma * (gyro - self.bg)
         grav_local = quat_to_rot(self.rot).T @ self.grav
-        self.ba = self.ba + alpha * (acc - (grav_local + self.ba))
+        # both error terms use the PRE-update ba (cpp:545-549: errors are
+        # computed before S_.ba +=)
+        acc_err_loc = acc - (grav_local + self.ba)
+        acc_err_g = quat_to_rot(self.rot) @ (acc - self.ba) - self.grav
+        self.ba = self.ba + alpha * acc_err_loc
         if self.cfg.imu_estimate_gravity:
-            acc_err_g = quat_to_rot(self.rot) @ (acc - self.ba) - self.grav
             self.grav[2] += alpha * acc_err_g[2]
 
     # ---- ComplementaryKalmanFilter (cpp:597-701) ----

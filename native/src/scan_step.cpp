@@ -107,8 +107,9 @@ void mat3_from_rpy(const double r, const double p, const double y,
 }
 
 void exp_so3(const double v[3], double R[9]) {
+    // identity below 1e-5: the reference Exp's threshold (hpp:412-414)
     const double th = std::sqrt(v[0] * v[0] + v[1] * v[1] + v[2] * v[2]);
-    if (th < 1e-9) {
+    if (th < 1e-5) {
         R[0] = R[4] = R[8] = 1.0;
         R[1] = R[2] = R[3] = R[5] = R[6] = R[7] = 0.0;
         return;

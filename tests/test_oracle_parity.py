@@ -297,3 +297,61 @@ class TestByteLevelEndToEnd:
         ate = ate_rmse(np.asarray(est_t), np.stack(est_pos),
                        log.truth_t, log.truth_pos)
         assert ate < 0.3, f"byte-level e2e ATE {ate}"
+
+
+class TestZuptGolden:
+    def test_stationary_zupt_matches_oracle(self):
+        """BASELINE config 2 (IMU-only EKF + ZUPT): a stationary vehicle with
+        use_zupt — velocity decay, bias learning and gravity-z correction
+        must match the float64 oracle step for step
+        (ekf_algorithm.cpp:508-565)."""
+        cfg = ElimalocConfig()
+        cfg.ekf.use_zupt = True
+        # CF off: its est_acc_x = dvel/dt term amplifies f64 op-ordering
+        # noise 100x per step, swamping the ZUPT comparison (the CF path is
+        # pinned by TestQuarantineGolden)
+        cfg.ekf.use_complementary_filter = False
+        params = make_params(cfg.ekf, dtype=jnp.float64)
+        flags = EkfFlags.from_config(cfg.ekf)
+        js = init_state(params, dtype=jnp.float64)
+        cs = oracle.CpuEkf(cfg)
+
+        # make the filter "initialized" so prediction (and ZUPT) runs
+        rot = np.array([1.0, 0.0, 0.0, 0.0])
+        for k in range(3):
+            t = 1.0 + 0.05 * k
+            pc = np.eye(3) * 0.01
+            rc = np.eye(3) * 0.001
+            js = update_gnss(
+                js,
+                GnssMeas(timestamp=jnp.float64(t),
+                         source=jnp.asarray(int(GnssSource.NOVATEL)),
+                         pos=jnp.zeros(3, jnp.float64),
+                         rot=jnp.asarray(rot, jnp.float64),
+                         pos_cov=jnp.asarray(pc), rot_cov=jnp.asarray(rc)),
+                params, flags)
+            cs.run_gnss_update(t, GnssSource.NOVATEL, np.zeros(3), rot, pc, rc)
+
+        rng = np.random.default_rng(3)
+        t = 1.2
+        for k in range(40):
+            t += 0.01
+            acc = np.array([0.0, 0.0, 9.81]) + rng.normal(0, 0.005, 3)
+            gyro = rng.normal(0, 0.0005, 3)
+            js = predict_imu(
+                js,
+                ImuMeas(timestamp=jnp.float64(t), acc=jnp.asarray(acc),
+                        gyro=jnp.asarray(gyro)),
+                params, flags)
+            cs.run_prediction_imu(t, acc, gyro)
+            # atol covers f64 op-ordering (quat-rotate vs matrix paths)
+            np.testing.assert_allclose(np.asarray(js.vel), cs.vel, rtol=0,
+                                       atol=1e-6, err_msg=f"step {k}: vel")
+            np.testing.assert_allclose(np.asarray(js.bg), cs.bg, rtol=0,
+                                       atol=1e-6, err_msg=f"step {k}: bg")
+            np.testing.assert_allclose(np.asarray(js.ba), cs.ba, rtol=0,
+                                       atol=1e-6, err_msg=f"step {k}: ba")
+            np.testing.assert_allclose(np.asarray(js.grav), cs.grav, rtol=0,
+                                       atol=1e-6, err_msg=f"step {k}: grav")
+        # ZUPT actually engaged: biases moved off zero
+        assert np.abs(cs.bg).max() > 0
