@@ -374,6 +374,43 @@ class CpuEkf:
             self._calibrate_vehicle_to_imu()
         return True
 
+    # ---- RunPrediction: the CA-model no-IMU fallback (cpp:81-165) ----
+    def run_prediction(self, t):
+        c = self.cfg
+        if self.reset_for_init_prediction:
+            self.prev_timestamp = t
+            self.reset_for_init_prediction = False
+            return False
+        if self.pcm_init_on_going:
+            self.prev_timestamp = t
+            return False
+        if abs(t - self.prev_timestamp) < 1e-6:
+            return False
+        dt = t - self.prev_timestamp
+        self.pos = self.pos + self.vel * dt + 0.5 * self.acc * dt * dt
+        self.rot = quat_normalize(quat_mul(
+            self.rot, rot_to_quat(_exp_so3(self.gyro * dt))))
+        self.vel = self.vel + self.acc * dt
+
+        dt2 = dt * dt
+        qd = np.zeros(STATE_ORDER)
+        qd[S_X:S_X + 3] = c.state_std_pos_m ** 2 * dt2
+        qd[S_ROLL:S_ROLL + 3] = (c.state_std_rot_deg * _D2R) ** 2 * dt2
+        qd[S_VX:S_VX + 3] = c.state_std_vel_mps ** 2 * dt2
+        # quirk preserved: gyro std in deg/s, unscaled (cpp:138-139)
+        qd[S_ROLL_RATE:S_ROLL_RATE + 3] = c.state_std_gyro_dps ** 2 * dt2
+        qd[S_AX:S_AX + 3] = c.state_std_acc_mps ** 2 * dt2
+        Q = np.diag(qd)
+
+        F = np.eye(STATE_ORDER)
+        F[S_X:S_X + 3, S_VX:S_VX + 3] = np.eye(3) * dt
+        F[S_ROLL:S_ROLL + 3, S_ROLL_RATE:S_ROLL_RATE + 3] = np.eye(3) * dt
+        F[S_X:S_X + 3, S_AX:S_AX + 3] = np.eye(3) * 0.5 * dt2
+        F[S_VX:S_VX + 3, S_AX:S_AX + 3] = np.eye(3) * dt
+        self.P = F @ self.P @ F.T + Q
+        self.prev_timestamp = t
+        return True
+
     # ---- ZuptImu (cpp:508-565) ----
     def _zupt_imu(self, acc, gyro):
         alpha, gamma = 0.01, 0.01

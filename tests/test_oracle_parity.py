@@ -355,3 +355,47 @@ class TestZuptGolden:
                                        atol=1e-6, err_msg=f"step {k}: grav")
         # ZUPT actually engaged: biases moved off zero
         assert np.abs(cs.bg).max() > 0
+
+
+class TestCaModelGolden:
+    def test_ca_prediction_matches_oracle(self):
+        """use_imu=False mode: the 100 Hz CA-model tick (RunPrediction,
+        ekf_algorithm.cpp:81-165) vs the oracle, interleaved with CAN
+        updates so gyro/acc states are nonzero."""
+        from elimaloc_tpu.ekf import predict, update_can
+        from elimaloc_tpu.ekf.state import CanMeas
+
+        cfg = ElimalocConfig()
+        cfg.ekf.use_can = True
+        params = make_params(cfg.ekf, dtype=jnp.float64)
+        flags = EkfFlags.from_config(cfg.ekf)
+        js = init_state(params, dtype=jnp.float64)
+        cs = oracle.CpuEkf(cfg)
+
+        t = 1.0
+        for k in range(30):
+            t += 0.01
+            js = predict(js, jnp.float64(t), params)
+            cs.run_prediction(t)
+            if k % 5 == 2:
+                vel_x, yaw_rate = 2.0 + 0.1 * k, 0.1
+                z = jnp.float64(0.0)
+                js = update_can(
+                    js,
+                    CanMeas(timestamp=jnp.float64(t),
+                            vel=jnp.stack([jnp.float64(vel_x), z, z]),
+                            gyro=jnp.stack([z, z, jnp.float64(yaw_rate)])),
+                    params, flags)
+                cs.run_can_update(t, vel_x, yaw_rate)
+            np.testing.assert_allclose(np.asarray(js.pos), cs.pos, rtol=0,
+                                       atol=1e-7, err_msg=f"step {k}: pos")
+            np.testing.assert_allclose(np.asarray(js.vel), cs.vel, rtol=0,
+                                       atol=1e-7, err_msg=f"step {k}: vel")
+            q_j = np.asarray(js.rot)
+            q_c = cs.rot if np.dot(cs.rot, q_j) >= 0 else -cs.rot
+            np.testing.assert_allclose(q_j, q_c, rtol=0, atol=1e-7,
+                                       err_msg=f"step {k}: rot")
+            np.testing.assert_allclose(np.asarray(js.P), cs.P, rtol=0,
+                                       atol=1e-4, err_msg=f"step {k}: P")
+            assert float(js.prev_timestamp) == pytest.approx(
+                cs.prev_timestamp, abs=1e-12)
