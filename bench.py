@@ -326,7 +326,12 @@ def bench_methods():
         ate = ate_rmse(t_abs, pos, log.truth_t, log.truth_pos)
 
         oracle = CpuPipeline(cfg, built, ego_ring_size=512, imu_ring_size=256)
-        ctraj = oracle.run(log, time_base=pipe.time_base)
+        # frame_ordered: the fused mode batches can/gps per scan frame (a
+        # documented deterministic reordering, replay_fused docstring); the
+        # parity metric isolates NUMERICS by matching that order. With
+        # strict time order the full-fusion P2P case reads ~25 mm of pure
+        # ordering skew vs 1.6 mm of actual numeric divergence.
+        ctraj = oracle.run(log, time_base=pipe.time_base, frame_ordered=True)
         n = min(len(pos), len(ctraj["pos"]))
         err = np.linalg.norm(pos[:n] - ctraj["pos"][:n], axis=1)
         parity = float(np.sqrt(np.mean(err ** 2)))

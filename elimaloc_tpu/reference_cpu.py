@@ -1146,9 +1146,16 @@ class CpuPipeline:
                 pos_cov, rot_cov)
         return {"applied": True, "icp_pose": icp_ego, "fitness": fitness}
 
-    def run(self, log, time_base=None):
-        """Replay a ReplayLog in event-time order; returns a trajectory dict
-        sampled at scan events (matching LocalizationPipeline.run)."""
+    def run(self, log, time_base=None, frame_ordered: bool = False):
+        """Replay a ReplayLog; returns a trajectory dict sampled at scan
+        events (matching LocalizationPipeline.run).
+
+        ``frame_ordered=False`` (default) replays in strict event-time order
+        — the reference's callback order. ``frame_ordered=True`` replays
+        with the fused pipeline's deterministic per-frame ordering
+        (imu -> can -> gps -> scan within each inter-scan window,
+        replay_fused docstring) so parity comparisons against run_fused
+        isolate NUMERICS from the documented ordering skew."""
         tb = float(time_base if time_base is not None
                    else np.floor(min(log.imu_t[0], log.scan_t[0])))
         events = [("imu", i, float(t) - tb) for i, t in enumerate(log.imu_t)]
@@ -1161,7 +1168,25 @@ class CpuPipeline:
             events += [("gps", i, float(t) - tb) for i, t in enumerate(log.gps_t)]
         if log.can_t is not None and self.cfg.ekf.use_can:
             events += [("can", i, float(t) - tb) for i, t in enumerate(log.can_t)]
-        events.sort(key=lambda e: e[2])
+        if frame_ordered:
+            arr_rel = np.sort(arrival) - tb
+            prio = {"imu": 0, "can": 1, "gps": 2, "scan": 3}
+
+            def key(e):
+                kind, _, t = e
+                # scans bound their own frame; others attach to the frame of
+                # the next scan arrival (searchsorted 'left': an event AT the
+                # arrival instant precedes that scan, like build_fused_batches)
+                frame = int(np.searchsorted(arr_rel, t,
+                                            side="left" if kind != "scan"
+                                            else "right"))
+                if kind == "scan":
+                    frame -= 1
+                return (frame, prio[kind], t)
+
+            events.sort(key=key)
+        else:
+            events.sort(key=lambda e: e[2])
         traj_t, traj_pos, traj_rpy, scans = [], [], [], []
         for kind, i, t in events:
             if kind == "imu":
