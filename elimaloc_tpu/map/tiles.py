@@ -73,6 +73,12 @@ class TileMap:
     tx_dim: int = struct.field(pytree_node=False)
     ty_dim: int = struct.field(pytree_node=False)
 
+    # world offset of the map's coordinate frame (nonzero for active-window
+    # crops: point coords are stored window-locally so the window can move
+    # WITHOUT recompiling — the origin is a dynamic pytree leaf while the
+    # grid geometry stays static). run_register conjugates poses by it.
+    origin: jnp.ndarray = None               # [2] f32 (x, y), 0 for full maps
+
     @property
     def num_tiles(self) -> int:
         return self.tx_dim * self.ty_dim
@@ -220,6 +226,7 @@ class HostTileMap:
     ty0: int
     tx_dim: int
     ty_dim: int
+    world_offset: tuple = (0.0, 0.0)
 
     def to_device(self, dtype=jnp.float32) -> TileMap:
         a = lambda x: None if x is None else jnp.asarray(x)
@@ -242,6 +249,88 @@ class HostTileMap:
             ty0=self.ty0,
             tx_dim=self.tx_dim,
             ty_dim=self.ty_dim,
+            origin=jnp.asarray(self.world_offset, dtype=dtype),
+        )
+
+    def crop_window(self, center_xy, radius_tiles: int,
+                    dims: Optional[tuple] = None) -> "HostTileMap":
+        """Fixed-size active-window crop in WINDOW-LOCAL coordinates.
+
+        City-scale maps (10-100M points) do not fit HBM; the pipeline keeps
+        a (2*radius_tiles+1)^2-tile window around the vehicle resident and
+        re-crops when the pose nears the edge. The window's point/voxel
+        coordinates are shifted by the window origin and the grid is
+        anchored at tx0=ty0=0, so every crop has IDENTICAL static metadata
+        — swapping windows never recompiles. The world offset rides along
+        as ``world_offset`` (a dynamic device leaf after ``to_device``);
+        ``register.run_register`` conjugates poses by it, making results
+        identical to the full map for any query whose 3x3-tile neighborhood
+        lies inside the window. Out-of-map tiles are filled from the
+        sentinel row (empty).
+        """
+        if dims is None:
+            nx = min(2 * radius_tiles + 1, self.tx_dim)
+            ny = min(2 * radius_tiles + 1, self.ty_dim)
+        else:
+            nx, ny = dims
+        cx = int(np.floor(center_xy[0] / self.tile_size))
+        cy = int(np.floor(center_xy[1] / self.tile_size))
+        # clamp the window inside the map where possible
+        x0 = int(np.clip(cx - nx // 2, self.tx0, self.tx0 + self.tx_dim - nx))
+        y0 = int(np.clip(cy - ny // 2, self.ty0, self.ty0 + self.ty_dim - ny))
+        t_full = self.tx_dim * self.ty_dim  # sentinel row index
+        gx = np.arange(x0 - self.tx0, x0 - self.tx0 + nx)
+        gy = np.arange(y0 - self.ty0, y0 - self.ty0 + ny)
+        in_map = (gx[:, None] >= 0) & (gx[:, None] < self.tx_dim)             & (gy[None, :] >= 0) & (gy[None, :] < self.ty_dim)
+        rows = gx[:, None] * self.ty_dim + gy[None, :]
+        rows = np.where(in_map, rows, t_full).reshape(-1)
+
+        off = np.array([x0 * self.tile_size, y0 * self.tile_size])
+        voff = np.array([x0, y0]) * int(round(self.tile_size / self.voxel_size))
+
+        def sel(a):
+            return None if a is None else np.concatenate(
+                [a[rows], a[-1:]], axis=0)  # + sentinel row
+
+        def shift_xy(a, o):
+            if a is None:
+                return None
+            a = a.copy()
+            a[..., 0] -= o[0]
+            a[..., 1] -= o[1]
+            return a
+
+        def shift_xy_t(a, o):
+            # transposed layout [T+1, 3, Kp]: axis 1 is the coordinate
+            if a is None:
+                return None
+            a = a.copy()
+            a[:, 0, :] -= o[0]
+            a[:, 1, :] -= o[1]
+            return a
+
+        return HostTileMap(
+            tile_points=shift_xy(sel(self.tile_points), off),
+            tile_counts=sel(self.tile_counts),
+            tile_point_cov=sel(self.tile_point_cov),
+            tile_point_cov_mean=shift_xy(sel(self.tile_point_cov_mean), off),
+            tile_vox_mean=shift_xy(sel(self.tile_vox_mean), off),
+            tile_vox_cov=sel(self.tile_vox_cov),
+            tile_vox_coord=shift_xy(sel(self.tile_vox_coord), voff),
+            tile_vox_counts=sel(self.tile_vox_counts),
+            tile_points_t=shift_xy_t(sel(self.tile_points_t),
+                                     off.astype(np.float32)),
+            tile_vox_mean_t=shift_xy_t(sel(self.tile_vox_mean_t),
+                                       off.astype(np.float32)),
+            tile_vox_coord_t=shift_xy_t(sel(self.tile_vox_coord_t), voff),
+            tile_vox_cov_t=sel(self.tile_vox_cov_t),
+            voxel_size=self.voxel_size,
+            tile_size=self.tile_size,
+            tx0=0,
+            ty0=0,
+            tx_dim=nx,
+            ty_dim=ny,
+            world_offset=(float(off[0]), float(off[1])),
         )
 
 

@@ -553,8 +553,18 @@ class LocalizationPipeline:
                  dtype=jnp.float32, backend: str = "tile", tile_budget=None,
                  ds_points: int = 8192, ego_ring_size: int = 1024,
                  imu_ring_size: int = 512, tile_voxels: int = 4,
-                 use_native: bool = True):
+                 use_native: bool = True,
+                 map_window_radius: Optional[float] = None):
+        """``map_window_radius`` (meters, tile backend only) enables the
+        active-window mode for maps too large for HBM: only the
+        (2r+1)x(2r+1)-tile window around the vehicle is device-resident,
+        re-cropped with hysteresis as the pose nears the edge. Window swaps
+        never recompile (window-local coordinates, map/tiles.crop_window).
+        Use the event loop (:meth:`run`) or frame streaming
+        (:meth:`run_frames`); the single-program :meth:`run_fused` cannot
+        swap maps mid-program."""
         self.cfg = cfg
+        self.dtype = dtype
         method = cfg.pcm.icp_method
         if isinstance(map_points, map_builder.BuiltMap):
             # prebuilt / checkpointed map (utils.checkpoint.load_built_map)
@@ -569,17 +579,32 @@ class LocalizationPipeline:
                 gicp_cov_search_dist=cfg.pcm.gicp_cov_search_dist,
                 use_native=use_native,
             )
+        self.map_window_radius = map_window_radius
+        self._host_tmap = None
+        self._window_center = None
         if backend == "tile":
-            self.map = map_tiles.build_tile_map(
+            host_tmap = map_tiles.build_tile_map(
                 self.built, tile_voxels=tile_voxels
-            ).to_device(dtype=dtype)
+            )
+            if map_window_radius is not None:
+                self._host_tmap = host_tmap
+                self._window_tiles = max(
+                    int(np.ceil(map_window_radius / host_tmap.tile_size)), 2
+                )
+                c0 = self.built.vox_mean[
+                    np.isfinite(self.built.vox_mean[:, 0])
+                ][:, :2].mean(axis=0)
+                self._set_window(c0)
+            else:
+                self.map = host_tmap.to_device(dtype=dtype)
         else:
+            if map_window_radius is not None:
+                raise ValueError("map_window_radius requires the tile backend")
             self.map = map_grid.to_device(self.built, dtype=dtype)
         self.params = make_pipeline_params(cfg, dtype=dtype)
         self.static = make_pipeline_static(
             cfg, backend=backend, tile_budget=tile_budget, ds_points=ds_points
         )
-        self.dtype = dtype
         self._ego_ring_size = ego_ring_size
         self._imu_ring_size = imu_ring_size
         self.time_base = None
@@ -591,8 +616,7 @@ class LocalizationPipeline:
             functools.partial(imu_step, pp=self.params, ps=self.static)
         )
         self._scan_step = jax.jit(
-            functools.partial(scan_step, tmap=self.map, pp=self.params,
-                              ps=self.static)
+            functools.partial(scan_step, pp=self.params, ps=self.static)
         )
         self._gps_step = jax.jit(
             functools.partial(gps_step, pp=self.params, ps=self.static)
@@ -624,6 +648,27 @@ class LocalizationPipeline:
             functools.partial(run_register, params=self.params.icp,
                               static=self.static.icp_static)
         )
+
+    # ---- active-window management ----
+    def _set_window(self, center_xy):
+        host_win = self._host_tmap.crop_window(
+            np.asarray(center_xy, float), self._window_tiles
+        )
+        self.map = host_win.to_device(dtype=self.dtype)
+        ts = self._host_tmap.tile_size
+        # actual window center in world coords (clamped at map edges)
+        self._window_center = np.array(host_win.world_offset) + 0.5 * np.array(
+            [host_win.tx_dim, host_win.ty_dim]) * ts
+
+    def _maybe_rewindow(self, pos_xy):
+        """Re-crop when the pose leaves the inner half of the window."""
+        if self._host_tmap is None:
+            return
+        ts = self._host_tmap.tile_size
+        half = self._window_tiles * ts
+        margin = max(half - 2.0 * ts, 0.5 * half)
+        if np.max(np.abs(np.asarray(pos_xy) - self._window_center)) > margin:
+            self._set_window(pos_xy)
 
     def _rebase(self, t):
         if self.time_base is None:
@@ -772,11 +817,14 @@ class LocalizationPipeline:
                     traj_pos.append(np.asarray(es["pos"]))
                     traj_rpy.append(np.asarray(es["rpy"]))
             elif kind == "scan":
+                if self._host_tmap is not None:
+                    self._maybe_rewindow(np.asarray(state.ekf.pos)[:2])
                 state, out = self._scan_step(
                     state, jnp.asarray(scan_stamps[i], f),
                     jnp.asarray(log.scan_points[i], f),
                     jnp.asarray(log.scan_times[i], f),
                     jnp.asarray(log.scan_valid[i]),
+                    self.map,
                 )
                 es = ego_state(state.ekf)
                 traj_t.append(float(es["timestamp"]) + self.time_base)
@@ -820,6 +868,8 @@ class LocalizationPipeline:
         outs = []
         n = len(log.scan_t)
         for k in range(n):
+            if self._host_tmap is not None:
+                self._maybe_rewindow(np.asarray(state.ekf.pos)[:2])
             state, out = self._frame_at(
                 state, batches, jnp.asarray(k, jnp.int32), self.map
             )
@@ -838,6 +888,12 @@ class LocalizationPipeline:
 
     # ---- fused replay ----
     def run_fused(self, log: ReplayLog, state: Optional[PipelineState] = None):
+        if self._host_tmap is not None:
+            raise ValueError(
+                "run_fused compiles the whole log into one program and "
+                "cannot swap map windows; use run() or run_frames() with "
+                "map_window_radius"
+            )
         state = state if state is not None else self.reset()
         self._rebase(min(log.imu_t[0], log.scan_t[0]))
         batches = build_fused_batches(log, time_base=self.time_base)

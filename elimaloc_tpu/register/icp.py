@@ -497,10 +497,19 @@ def run_register(
 
     radar_cov = None
     if static.use_radar_cov:
-        # Computed once from the initially-transformed cloud (cpp:302-305).
+        # Computed once from the initially-transformed cloud (cpp:302-305),
+        # in WORLD coordinates (before any window-origin shift).
         radar_cov = radar_point_cov(
             lie.transform_points(pose0, src_local), params
         )
+
+    # Active-window maps store window-LOCAL coordinates with a dynamic world
+    # origin (map/tiles.crop_window): run the whole registration in the
+    # window frame and shift the result back. Pure translation conjugation —
+    # rotations, covariances and residuals are unaffected.
+    origin = getattr(grid, "origin", None)
+    if origin is not None:
+        pose0 = pose0.at[:2, 3].add(-origin.astype(dtype))
 
     if static.backend == "tile":
         # Hoist the tile-slot assignment out of the GN loop (see
@@ -579,6 +588,8 @@ def run_register(
     pose, it, done, failed, fitness, local_cov, overlap = jax.lax.while_loop(
         cond, body, carry0
     )
+    if origin is not None:
+        pose = pose.at[:2, 3].add(origin.astype(dtype))
     success = ~failed & (fitness <= params.max_fitness_score)
     return IcpResult(
         pose=pose,

@@ -288,7 +288,7 @@ class TestByteLevelEndToEnd:
                 val[:k] = np.linalg.norm(xyz[:k], axis=1) > 1e-6
                 state, out = pipe._scan_step(
                     state, tv, jnp.asarray(pts), jnp.asarray(tms),
-                    jnp.asarray(val))
+                    jnp.asarray(val), pipe.map)
                 from elimaloc_tpu.ekf import ego_state
                 es = ego_state(state.ekf)
                 est_t.append(float(es["timestamp"]) + pipe.time_base)

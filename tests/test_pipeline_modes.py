@@ -155,3 +155,49 @@ def test_run_frames_matches_fused():
     np.testing.assert_allclose(
         np.asarray(of["ego_pos"]), osf["ego_pos"], rtol=0, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(of["applied"]), osf["applied"])
+
+
+def test_windowed_map_replay_matches_full():
+    """Active-window mode (map_window_radius): the drive crosses window
+    boundaries (several re-crops) and the trajectory must match the
+    full-map pipeline to sub-centimeter."""
+    world = make_world(seed=9, extent=70.0, n_ground=60_000, n_wall=30_000)
+    log = synthesize_log(
+        world, duration=3.0, points_per_scan=1024, max_range=40.0,
+        seed=10,
+    )
+    cfg = ElimalocConfig()
+    cfg.pcm.input_voxel_ds_m = 1.0
+    cfg.ekf.ekf_init_x_m = 60.0
+    cfg.ekf.ekf_init_y_m = 0.0
+    cfg.ekf.ekf_init_yaw_deg = 90.0
+    cfg.calib.ego_to_lidar_trans = (0.0, 0.0, 0.0)
+    cfg.calib.ego_to_lidar_rot_deg = (0.0, 0.0, 0.0)
+    cfg.pcm.lidar_time_delay = 0.0
+    kw = dict(ds_points=1024,
+              tile_budget=TileQueryBudget(qb=32, max_slots=512),
+              use_native=False, ego_ring_size=128, imu_ring_size=128)
+    full = LocalizationPipeline(cfg, world, **kw)
+    _, traj_full = full.run(log)
+
+    win = LocalizationPipeline(cfg, world, map_window_radius=48.0, **kw)
+    assert win._host_tmap is not None
+    centers = []
+    orig = win._maybe_rewindow
+
+    def spy(pos_xy):
+        before = tuple(win._window_center)
+        orig(pos_xy)
+        if tuple(win._window_center) != before:
+            centers.append(tuple(win._window_center))
+
+    win._maybe_rewindow = spy
+    _, traj_win = win.run(log)
+    assert len(centers) >= 1, "drive should cross a window boundary"
+
+    err = np.linalg.norm(traj_full["pos"] - traj_win["pos"], axis=1)
+    assert float(np.max(err)) < 0.01, f"windowed-vs-full max diff {err.max()}"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        win.run_fused(log)

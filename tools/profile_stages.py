@@ -55,7 +55,7 @@ def main():
             jnp.asarray(log.imu_acc[k], jnp.float32),
             jnp.asarray(log.imu_gyro[k], jnp.float32))
     st, _ = pipe._scan_step(
-        st, b["scan_t"], pts, b["scan_times"], val)
+        st, b["scan_t"], pts, b["scan_times"], val, pipe.map)
 
     R = 20
 
