@@ -252,8 +252,20 @@ class HostTileMap:
             origin=jnp.asarray(self.world_offset, dtype=dtype),
         )
 
+    def window_anchor(self, center_xy, dims):
+        """(x0, y0) tile anchor a crop_window at this center would use —
+        cheap no-op detection for window management (clamped at map edges,
+        where the window cannot follow the pose)."""
+        nx, ny = dims
+        cx = int(np.floor(center_xy[0] / self.tile_size))
+        cy = int(np.floor(center_xy[1] / self.tile_size))
+        x0 = int(np.clip(cx - nx // 2, self.tx0, self.tx0 + self.tx_dim - nx))
+        y0 = int(np.clip(cy - ny // 2, self.ty0, self.ty0 + self.ty_dim - ny))
+        return x0, y0
+
     def crop_window(self, center_xy, radius_tiles: int,
-                    dims: Optional[tuple] = None) -> "HostTileMap":
+                    dims: Optional[tuple] = None,
+                    offset_dtype=np.float32) -> "HostTileMap":
         """Fixed-size active-window crop in WINDOW-LOCAL coordinates.
 
         City-scale maps (10-100M points) do not fit HBM; the pipeline keeps
@@ -273,11 +285,8 @@ class HostTileMap:
             ny = min(2 * radius_tiles + 1, self.ty_dim)
         else:
             nx, ny = dims
-        cx = int(np.floor(center_xy[0] / self.tile_size))
-        cy = int(np.floor(center_xy[1] / self.tile_size))
-        # clamp the window inside the map where possible
-        x0 = int(np.clip(cx - nx // 2, self.tx0, self.tx0 + self.tx_dim - nx))
-        y0 = int(np.clip(cy - ny // 2, self.ty0, self.ty0 + self.ty_dim - ny))
+        del dims
+        x0, y0 = self.window_anchor(center_xy, (nx, ny))
         t_full = self.tx_dim * self.ty_dim  # sentinel row index
         gx = np.arange(x0 - self.tx0, x0 - self.tx0 + nx)
         gy = np.arange(y0 - self.ty0, y0 - self.ty0 + ny)
@@ -285,28 +294,43 @@ class HostTileMap:
         rows = gx[:, None] * self.ty_dim + gy[None, :]
         rows = np.where(in_map, rows, t_full).reshape(-1)
 
+        # Quantize the offset to the DEVICE dtype before shifting: the same
+        # value must be subtracted host-side and added back by run_register's
+        # origin conjugation, or city-scale coordinates (~1e6 m, f32 ulp
+        # ~0.06 m) pick up a per-window pose bias.
         off = np.array([x0 * self.tile_size, y0 * self.tile_size])
+        off = off.astype(offset_dtype).astype(np.float64)
         voff = np.array([x0, y0]) * int(round(self.tile_size / self.voxel_size))
 
         def sel(a):
             return None if a is None else np.concatenate(
                 [a[rows], a[-1:]], axis=0)  # + sentinel row
 
-        def shift_xy(a, o):
+        def shift_xy(a, o, sentinel=None):
             if a is None:
                 return None
             a = a.copy()
+            # padded entries (coord sentinel) must KEEP their sentinel value:
+            # the voxel paths test coords against _COORD_SENTINEL exactly,
+            # and a shifted pad would read as occupied (NaN means downstream)
+            keep = None if sentinel is None else (a[..., 0] == sentinel)
             a[..., 0] -= o[0]
             a[..., 1] -= o[1]
+            if keep is not None:
+                a[keep] = sentinel
             return a
 
-        def shift_xy_t(a, o):
+        def shift_xy_t(a, o, sentinel=None):
             # transposed layout [T+1, 3, Kp]: axis 1 is the coordinate
             if a is None:
                 return None
             a = a.copy()
+            keep = None if sentinel is None else (a[:, 0, :] == sentinel)
             a[:, 0, :] -= o[0]
             a[:, 1, :] -= o[1]
+            if keep is not None:
+                a[:, 0, :][keep] = sentinel
+                a[:, 1, :][keep] = sentinel
             return a
 
         return HostTileMap(
@@ -316,13 +340,15 @@ class HostTileMap:
             tile_point_cov_mean=shift_xy(sel(self.tile_point_cov_mean), off),
             tile_vox_mean=shift_xy(sel(self.tile_vox_mean), off),
             tile_vox_cov=sel(self.tile_vox_cov),
-            tile_vox_coord=shift_xy(sel(self.tile_vox_coord), voff),
+            tile_vox_coord=shift_xy(sel(self.tile_vox_coord), voff,
+                                    sentinel=_COORD_SENTINEL),
             tile_vox_counts=sel(self.tile_vox_counts),
             tile_points_t=shift_xy_t(sel(self.tile_points_t),
                                      off.astype(np.float32)),
             tile_vox_mean_t=shift_xy_t(sel(self.tile_vox_mean_t),
                                        off.astype(np.float32)),
-            tile_vox_coord_t=shift_xy_t(sel(self.tile_vox_coord_t), voff),
+            tile_vox_coord_t=shift_xy_t(sel(self.tile_vox_coord_t), voff,
+                                        sentinel=_COORD_SENTINEL),
             tile_vox_cov_t=sel(self.tile_vox_cov_t),
             voxel_size=self.voxel_size,
             tile_size=self.tile_size,

@@ -591,9 +591,10 @@ class LocalizationPipeline:
                 self._window_tiles = max(
                     int(np.ceil(map_window_radius / host_tmap.tile_size)), 2
                 )
-                c0 = self.built.vox_mean[
-                    np.isfinite(self.built.vox_mean[:, 0])
-                ][:, :2].mean(axis=0)
+                # first window around the configured init pose (cropping
+                # around the map centroid would be discarded by the first
+                # scan's re-window — a wasted multi-GB upload on big maps)
+                c0 = np.array([cfg.ekf.ekf_init_x_m, cfg.ekf.ekf_init_y_m])
                 self._set_window(c0)
             else:
                 self.map = host_tmap.to_device(dtype=dtype)
@@ -650,25 +651,45 @@ class LocalizationPipeline:
         )
 
     # ---- active-window management ----
+    def _window_dims(self):
+        h = self._host_tmap
+        n = 2 * self._window_tiles + 1
+        return (min(n, h.tx_dim), min(n, h.ty_dim))
+
     def _set_window(self, center_xy):
         host_win = self._host_tmap.crop_window(
-            np.asarray(center_xy, float), self._window_tiles
+            np.asarray(center_xy, float), self._window_tiles,
+            dims=self._window_dims(),
+            offset_dtype=np.dtype(self.dtype),
         )
         self.map = host_win.to_device(dtype=self.dtype)
         ts = self._host_tmap.tile_size
+        self._window_offset_tiles = self._host_tmap.window_anchor(
+            np.asarray(center_xy, float), self._window_dims()
+        )
         # actual window center in world coords (clamped at map edges)
         self._window_center = np.array(host_win.world_offset) + 0.5 * np.array(
             [host_win.tx_dim, host_win.ty_dim]) * ts
 
     def _maybe_rewindow(self, pos_xy):
-        """Re-crop when the pose leaves the inner half of the window."""
+        """Re-crop before sensor-range correspondences can truncate at the
+        window edge (and never re-upload an identical window — a boundary-
+        clamped window cannot follow the pose, which would otherwise thrash
+        a full crop+upload every scan)."""
         if self._host_tmap is None:
             return
         ts = self._host_tmap.tile_size
         half = self._window_tiles * ts
-        margin = max(half - 2.0 * ts, 0.5 * half)
-        if np.max(np.abs(np.asarray(pos_xy) - self._window_center)) > margin:
-            self._set_window(pos_xy)
+        sensor = float(self.cfg.pcm.input_max_dist)
+        margin = max(half - sensor - 2.0 * ts, ts)
+        if np.max(np.abs(np.asarray(pos_xy) - self._window_center)) <= margin:
+            return
+        anchor = self._host_tmap.window_anchor(
+            np.asarray(pos_xy, float), self._window_dims()
+        )
+        if anchor == self._window_offset_tiles:
+            return  # clamped at the map edge: same window, skip the upload
+        self._set_window(pos_xy)
 
     def _rebase(self, t):
         if self.time_base is None:
@@ -739,6 +760,10 @@ class LocalizationPipeline:
         found, ground_z = map_builder.find_ground_height(self.built, [x, y])
         if not found:
             return state, False
+        if self._host_tmap is not None:
+            # relocalization usually targets a pose far outside the resident
+            # window — re-crop around the click before registering
+            self._maybe_rewindow(np.asarray([x, y], float))
         pose = np.eye(4)
         pose[:3, :3] = np.asarray(lie.euler_to_rot(jnp.asarray([0.0, 0.0, yaw])))
         pose[:3, 3] = [x, y, ground_z]

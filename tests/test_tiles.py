@@ -321,3 +321,45 @@ class TestMapWindow:
         np.testing.assert_allclose(
             np.asarray(res_w.pose)[:3, 3], np.asarray(res_f.pose)[:3, 3],
             rtol=0, atol=0.02)
+
+    def test_window_voxel_queries_match_full_map(self):
+        """The voxel-cov paths test coords against the EXACT sentinel; a
+        shifted pad once read as occupied and produced NaN means (0*inf in
+        the one-hot select). Windowed VGICP/AVGICP queries must match the
+        full map and stay finite."""
+        rng = np.random.default_rng(33)
+        pts = rng.uniform(-40, 40, (40_000, 3)) * np.array([1, 1, 0.08])
+        built = build_voxel_map(pts, 1.0, 20, compute_voxel_cov=True,
+                                use_native=False)
+        host = build_tile_map(built, tile_voxels=4)
+        full = host.to_device(dtype=jnp.float64)
+        win_h = host.crop_window(np.array([6.0, -3.0]), 5)
+        win = win_h.to_device(dtype=jnp.float64)
+        origin = np.asarray(win.origin)
+
+        q = np.array([6.0, -3.0]) + rng.uniform(-8, 8, (192, 2))
+        q = np.c_[q, rng.uniform(-1, 1, 192)]
+        v = jnp.ones(len(q), bool)
+        budget = TileQueryBudget(qb=32, max_slots=128)
+        q_loc = q.copy()
+        q_loc[:, :2] -= origin
+
+        cov_f, mean_f, ok_f = tiles.query_nearest_voxel_cov(
+            full, jnp.asarray(q), v, 5.0, budget)
+        cov_w, mean_w, ok_w = tiles.query_nearest_voxel_cov(
+            win, jnp.asarray(q_loc), v, 5.0, budget)
+        assert np.isfinite(np.asarray(mean_w)).all()
+        np.testing.assert_array_equal(np.asarray(ok_f), np.asarray(ok_w))
+        mean_w_world = np.array(mean_w)
+        mean_w_world[:, :2] += origin
+        np.testing.assert_allclose(np.asarray(mean_f), mean_w_world,
+                                   rtol=0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cov_f), np.asarray(cov_w),
+                                   rtol=0, atol=1e-6)
+
+        cov7_f, mean7_f, ok7_f = tiles.query_all_voxel_cov(
+            full, jnp.asarray(q), v, 5.0, budget)
+        cov7_w, mean7_w, ok7_w = tiles.query_all_voxel_cov(
+            win, jnp.asarray(q_loc), v, 5.0, budget)
+        assert np.isfinite(np.asarray(mean7_w)).all()
+        np.testing.assert_array_equal(np.asarray(ok7_f), np.asarray(ok7_w))
