@@ -80,7 +80,7 @@ def build_everything():
         # qb=32 dense-tile path: measured fastest at this scale (the Pallas
         # kernels win at qb=8 but lose to the XLA dense path at qb>=16;
         # see tools/profile_sweep.py)
-        tile_budget=TileQueryBudget(qb=32, max_slots=2560, pallas=False),
+        tile_budget=TileQueryBudget(qb=32, max_slots=2560),
         ego_ring_size=512, imu_ring_size=256,
     )
     return pipe, log
@@ -310,7 +310,7 @@ def bench_methods():
             cfg.ekf.use_can = True
         pipe = LocalizationPipeline(
             cfg, built, ds_points=4096,
-            tile_budget=TileQueryBudget(qb=32, max_slots=768, pallas=False),
+            tile_budget=TileQueryBudget(qb=32, max_slots=768),
             ego_ring_size=512, imu_ring_size=256,
         )
         state, outs = pipe.run_fused(log)

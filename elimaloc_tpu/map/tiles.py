@@ -7,15 +7,24 @@ restructures the same correspondence semantics (reference:
 voxel_hash_map.cpp:31-206) into a TPU-native dataflow:
 
   1. Map points/voxels are sorted into 2D spatial TILES (a few voxels wide,
-     full z column) and padded to dense per-tile blocks at build time.
+     full z column). At build time each tile precomputes its HALO candidate
+     block: every map point/voxel inside the tile's footprint grown by ONE
+     voxel on each side — exactly the voxels any in-tile query's 27-voxel
+     cube can reach — packed as one contiguous padded row.
   2. At query time, scan points are sorted by tile id and packed into fixed
      [slot, QB] blocks (a slot = one tile's queries, chunked by QB).
-  3. Each slot gathers its 3x3 tile neighborhood as NINE contiguous slices —
-     big sequential DMAs instead of 200k tiny gathers — and evaluates the
-     dense [QB, 9*MTP] distance matrix on the MXU, masked back to the exact
-     27-voxel cube so results match the hash grid bit-for-bit (up to argmin
-     tie order).
+  3. Each slot fetches its halo row with a single contiguous DMA and
+     evaluates the dense [QB, MH] distance matrix on the MXU, masked back to
+     the exact 27-voxel cube so results match the hash grid bit-for-bit (up
+     to argmin tie order).
   4. Results scatter back through the sort permutation.
+
+The halo layout replaced round 1/2's 9-neighbor-tile gather ([QB, 9*MTP]
+candidates): growing a 4x4-voxel tile by one voxel is a 6x6 footprint, so the
+dense matrix shrinks ~5x (measured 4.9x wall-clock on the bench map) for a
+~2.3x duplication of map points in HBM. Halo rows of window-edge tiles keep
+their full-map contents, so active-window crops stay exact one voxel past the
+window boundary.
 
 This is also the natural multi-chip decomposition: slots shard over devices
 (parallel/sharding.py).
@@ -46,25 +55,15 @@ class TileMap:
     """Tile-blocked map tensors. Row T (last) of tile-indexed arrays is a
     sentinel (count 0, +inf geometry)."""
 
-    # point level (P2P / GICP)
-    tile_points: jnp.ndarray            # [T+1, MTP, 3] f32, pad +inf
-    tile_counts: jnp.ndarray            # [T+1] int32
-    tile_point_cov: Optional[jnp.ndarray]       # [T+1, MTP, 3, 3] or None
-    tile_point_cov_mean: Optional[jnp.ndarray]  # [T+1, MTP, 3] or None
+    # point level (P2P / GICP): per-tile halo candidate blocks
+    halo_points: jnp.ndarray            # [T+1, MHP, 3] f32, pad +inf
+    halo_point_cov: Optional[jnp.ndarray]       # [T+1, MHP, 3, 3] or None
+    halo_point_cov_mean: Optional[jnp.ndarray]  # [T+1, MHP, 3] or None
 
     # voxel level (VGICP / AVGICP)
-    tile_vox_mean: jnp.ndarray          # [T+1, MTV, 3] f32, pad +inf
-    tile_vox_cov: jnp.ndarray           # [T+1, MTV, 3, 3]
-    tile_vox_coord: jnp.ndarray         # [T+1, MTV, 3] int32, pad sentinel
-    tile_vox_counts: jnp.ndarray        # [T+1] int32
-
-    # transposed lane-aligned copies for the Pallas kernels (last dim padded
-    # to a multiple of 128; geometry padded with 1e30, not inf, so stray
-    # MXU products stay NaN-free)
-    tile_points_t: Optional[jnp.ndarray]     # [T+1, 3, MTPp] f32
-    tile_vox_mean_t: Optional[jnp.ndarray]   # [T+1, 3, MTVp] f32
-    tile_vox_coord_t: Optional[jnp.ndarray]  # [T+1, 3, MTVp] int32
-    tile_vox_cov_t: Optional[jnp.ndarray]    # [T+1, 9, MTVp] f32
+    halo_vox_mean: jnp.ndarray          # [T+1, MHV, 3] f32, pad +inf
+    halo_vox_cov: jnp.ndarray           # [T+1, MHV, 3, 3]
+    halo_vox_coord: jnp.ndarray         # [T+1, MHV, 3] int32, pad sentinel
 
     voxel_size: float = struct.field(pytree_node=False)
     tile_size: float = struct.field(pytree_node=False)
@@ -90,29 +89,62 @@ class TileMap:
 
 @dataclasses.dataclass(frozen=True)
 class TileQueryBudget:
-    """Static shape budgets for one query batch.
+    """Static shape budgets for one query batch."""
 
-    ``pallas=True`` routes the per-slot search through the fused VMEM kernels
-    (pallas/corr_kernels.py) — same results, ~10x less HBM traffic; requires
-    a map built with for_pallas=True (the default)."""
-
-    qb: int = 8            # queries per slot (small: slot fill beats SIMD width)
+    qb: int = 32           # queries per slot
     max_slots: int = 2560  # >= N/qb + (#occupied query tiles)
-    pallas: bool = False
 
     def for_queries(self, n: int):
         return self
 
 
-def _round_up(x, m=128):
-    return ((max(x, 1) + m - 1) // m) * m
+def _halo_membership(vox_xy, tile_voxels, tx0, ty0, tx_dim, ty_dim):
+    """(tile_row, item_idx) pairs: item k belongs to the halo of every tile
+    whose (tile +- 1 voxel) footprint contains its voxel column.
+
+    A voxel at in-tile offset 0 also serves the -1 neighbor, offset tv-1 the
+    +1 neighbor (both, per axis, when tile_voxels == 1)."""
+    tv = tile_voxels
+    vx, vy = vox_xy[:, 0], vox_xy[:, 1]
+    tx, ty = vx // tv, vy // tv
+    ox, oy = vx - tx * tv, vy - ty * tv
+    rows, idxs = [], []
+    for dx in (-1, 0, 1):
+        mx = (np.ones_like(ox, bool) if dx == 0
+              else (ox == 0) if dx == -1 else (ox == tv - 1))
+        for dy in (-1, 0, 1):
+            my = (np.ones_like(oy, bool) if dy == 0
+                  else (oy == 0) if dy == -1 else (oy == tv - 1))
+            gx, gy = tx + dx - tx0, ty + dy - ty0
+            ok = (mx & my & (gx >= 0) & (gx < tx_dim)
+                  & (gy >= 0) & (gy < ty_dim))
+            rows.append(gx[ok] * ty_dim + gy[ok])
+            idxs.append(np.nonzero(ok)[0])
+    return np.concatenate(rows), np.concatenate(idxs)
 
 
-def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
-                   for_pallas: bool = True) -> "HostTileMap":
-    """Re-block a BuiltMap into padded per-tile tensors (host side).
-    ``for_pallas`` additionally materializes transposed lane-aligned copies
-    consumed by the Pallas correspondence kernels."""
+def _pack_halo(rows, idxs, t, fills_payloads):
+    """Scatter (tile_row, item) membership into padded [T+1, M, ...] blocks.
+    ``fills_payloads`` = [(fill_value_or_array, payload [K, ...]), ...]."""
+    order = np.argsort(rows, kind="stable")
+    sr = rows[order]
+    rank = np.arange(len(order)) - np.searchsorted(sr, sr)
+    m = int(np.bincount(sr, minlength=t).max()) if len(sr) else 1
+    out = []
+    for fill, payload in fills_payloads:
+        shape = (t + 1, m) + payload.shape[1:]
+        if np.isscalar(fill):
+            block = np.full(shape, fill, payload.dtype)
+        else:
+            block = np.tile(fill, (t + 1, m) + (1,) * fill.ndim).astype(
+                payload.dtype)
+        block[sr, rank] = payload[idxs[order]]
+        out.append(block)
+    return out
+
+
+def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
+    """Re-block a BuiltMap into per-tile halo candidate tensors (host side)."""
     vs = built.voxel_size
     ts = vs * tile_voxels
     # numpy // floors for negative ints, matching floor(p / tile_size).
@@ -122,81 +154,47 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
     tx_dim = int(vox_tx.max()) - tx0 + 1
     ty_dim = int(vox_ty.max()) - ty0 + 1
     t = tx_dim * ty_dim
-    tile_of_vox = (vox_tx - tx0) * ty_dim + (vox_ty - ty0)
 
     v, m = built.counts.shape[0], built.max_points_per_voxel
 
-    # --- voxel-level blocking ---
-    order = np.argsort(tile_of_vox, kind="stable")
-    sorted_tiles = tile_of_vox[order]
-    vox_rank = np.arange(v) - np.searchsorted(sorted_tiles, sorted_tiles)
-    mtv = int(np.bincount(sorted_tiles, minlength=t).max()) if v else 1
+    # --- voxel-level halo blocks ---
+    vrows, vidxs = _halo_membership(
+        built.vox_coords[:, :2], tile_voxels, tx0, ty0, tx_dim, ty_dim)
+    halo_vox_mean, halo_vox_cov, halo_vox_coord = _pack_halo(
+        vrows, vidxs, t,
+        [
+            (np.inf, built.vox_mean.astype(np.float32)),
+            (np.eye(3, dtype=np.float32), built.vox_cov.astype(np.float32)),
+            (_COORD_SENTINEL, built.vox_coords.astype(np.int32)),
+        ],
+    )
 
-    tile_vox_mean = np.full((t + 1, mtv, 3), np.inf, np.float32)
-    tile_vox_cov = np.tile(np.eye(3, dtype=np.float32), (t + 1, mtv, 1, 1))
-    tile_vox_coord = np.full((t + 1, mtv, 3), _COORD_SENTINEL, np.int32)
-    tile_vox_counts = np.zeros(t + 1, np.int32)
-    tile_vox_counts[:t] = np.bincount(tile_of_vox, minlength=t)
-    tile_vox_mean[sorted_tiles, vox_rank] = built.vox_mean[order]
-    tile_vox_cov[sorted_tiles, vox_rank] = built.vox_cov[order]
-    tile_vox_coord[sorted_tiles, vox_rank] = built.vox_coords[order]
-
-    # --- point-level blocking (flatten voxel blocks, keep per-point payloads) ---
+    # --- point-level halo blocks (flatten voxel blocks, keep payloads) ---
     pt_mask = np.arange(m)[None, :] < built.counts[:, None]          # [V, M]
-    flat_pts = built.points[pt_mask]                                  # [P,3]
-    pt_tile = np.repeat(tile_of_vox, m).reshape(v, m)[pt_mask]
-    p_order = np.argsort(pt_tile, kind="stable")
-    sp_tiles = pt_tile[p_order]
-    p_rank = np.arange(len(p_order)) - np.searchsorted(sp_tiles, sp_tiles)
-    mtp = int(np.bincount(sp_tiles, minlength=t).max()) if len(p_order) else 1
-
-    tile_points = np.full((t + 1, mtp, 3), np.inf, np.float32)
-    tile_counts = np.zeros(t + 1, np.int32)
-    tile_counts[:t] = np.bincount(pt_tile, minlength=t)
-    tile_points[sp_tiles, p_rank] = flat_pts[p_order]
-
-    tile_point_cov = tile_point_cov_mean = None
+    flat_pts = built.points[pt_mask].astype(np.float32)               # [P,3]
+    pt_vox = np.repeat(np.arange(v), m).reshape(v, m)[pt_mask]
+    prows, pidxs = _halo_membership(
+        built.vox_coords[pt_vox][:, :2], tile_voxels, tx0, ty0,
+        tx_dim, ty_dim)
+    payloads = [(np.inf, flat_pts)]
     if built.point_cov is not None:
-        flat_cov = built.point_cov[pt_mask]
-        flat_cm = built.point_cov_mean[pt_mask]
-        tile_point_cov = np.tile(np.eye(3, dtype=np.float32), (t + 1, mtp, 1, 1))
-        tile_point_cov_mean = np.full((t + 1, mtp, 3), np.inf, np.float32)
-        tile_point_cov[sp_tiles, p_rank] = flat_cov[p_order]
-        tile_point_cov_mean[sp_tiles, p_rank] = flat_cm[p_order]
-
-    tile_points_t = tile_vox_mean_t = tile_vox_coord_t = tile_vox_cov_t = None
-    if for_pallas:
-        big = np.float32(1e30)
-        mtp_p = _round_up(mtp)
-        tile_points_t = np.full((t + 1, 3, mtp_p), big, np.float32)
-        tile_points_t[:, :, :mtp] = np.where(
-            np.isfinite(tile_points), tile_points, big
-        ).transpose(0, 2, 1)
-        mtv_p = _round_up(mtv)
-        tile_vox_mean_t = np.full((t + 1, 3, mtv_p), big, np.float32)
-        tile_vox_mean_t[:, :, :mtv] = np.where(
-            np.isfinite(tile_vox_mean), tile_vox_mean, big
-        ).transpose(0, 2, 1)
-        tile_vox_coord_t = np.full((t + 1, 3, mtv_p), _COORD_SENTINEL, np.int32)
-        tile_vox_coord_t[:, :, :mtv] = tile_vox_coord.transpose(0, 2, 1)
-        tile_vox_cov_t = np.zeros((t + 1, 9, mtv_p), np.float32)
-        tile_vox_cov_t[:, :, :mtv] = tile_vox_cov.reshape(
-            t + 1, mtv, 9
-        ).transpose(0, 2, 1)
+        payloads += [
+            (np.eye(3, dtype=np.float32),
+             built.point_cov[pt_mask].astype(np.float32)),
+            (np.inf, built.point_cov_mean[pt_mask].astype(np.float32)),
+        ]
+    packed = _pack_halo(prows, pidxs, t, payloads)
+    halo_points = packed[0]
+    halo_point_cov = packed[1] if built.point_cov is not None else None
+    halo_point_cov_mean = packed[2] if built.point_cov is not None else None
 
     return HostTileMap(
-        tile_points=tile_points,
-        tile_counts=tile_counts,
-        tile_point_cov=tile_point_cov,
-        tile_point_cov_mean=tile_point_cov_mean,
-        tile_vox_mean=tile_vox_mean,
-        tile_vox_cov=tile_vox_cov,
-        tile_vox_coord=tile_vox_coord,
-        tile_vox_counts=tile_vox_counts,
-        tile_points_t=tile_points_t,
-        tile_vox_mean_t=tile_vox_mean_t,
-        tile_vox_coord_t=tile_vox_coord_t,
-        tile_vox_cov_t=tile_vox_cov_t,
+        halo_points=halo_points,
+        halo_point_cov=halo_point_cov,
+        halo_point_cov_mean=halo_point_cov_mean,
+        halo_vox_mean=halo_vox_mean,
+        halo_vox_cov=halo_vox_cov,
+        halo_vox_coord=halo_vox_coord,
         voxel_size=float(vs),
         tile_size=float(ts),
         tx0=tx0,
@@ -208,18 +206,12 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
 
 @dataclasses.dataclass
 class HostTileMap:
-    tile_points: np.ndarray
-    tile_counts: np.ndarray
-    tile_point_cov: Optional[np.ndarray]
-    tile_point_cov_mean: Optional[np.ndarray]
-    tile_vox_mean: np.ndarray
-    tile_vox_cov: np.ndarray
-    tile_vox_coord: np.ndarray
-    tile_vox_counts: np.ndarray
-    tile_points_t: Optional[np.ndarray]
-    tile_vox_mean_t: Optional[np.ndarray]
-    tile_vox_coord_t: Optional[np.ndarray]
-    tile_vox_cov_t: Optional[np.ndarray]
+    halo_points: np.ndarray
+    halo_point_cov: Optional[np.ndarray]
+    halo_point_cov_mean: Optional[np.ndarray]
+    halo_vox_mean: np.ndarray
+    halo_vox_cov: np.ndarray
+    halo_vox_coord: np.ndarray
     voxel_size: float
     tile_size: float
     tx0: int
@@ -229,20 +221,14 @@ class HostTileMap:
     world_offset: tuple = (0.0, 0.0)
 
     def to_device(self, dtype=jnp.float32) -> TileMap:
-        a = lambda x: None if x is None else jnp.asarray(x)
+        cast = lambda x: None if x is None else jnp.asarray(x, dtype=dtype)
         return TileMap(
-            tile_points=jnp.asarray(self.tile_points, dtype=dtype),
-            tile_counts=jnp.asarray(self.tile_counts),
-            tile_point_cov=a(self.tile_point_cov),
-            tile_point_cov_mean=a(self.tile_point_cov_mean),
-            tile_vox_mean=jnp.asarray(self.tile_vox_mean, dtype=dtype),
-            tile_vox_cov=jnp.asarray(self.tile_vox_cov, dtype=dtype),
-            tile_vox_coord=jnp.asarray(self.tile_vox_coord),
-            tile_vox_counts=jnp.asarray(self.tile_vox_counts),
-            tile_points_t=a(self.tile_points_t),
-            tile_vox_mean_t=a(self.tile_vox_mean_t),
-            tile_vox_coord_t=a(self.tile_vox_coord_t),
-            tile_vox_cov_t=a(self.tile_vox_cov_t),
+            halo_points=cast(self.halo_points),
+            halo_point_cov=cast(self.halo_point_cov),
+            halo_point_cov_mean=cast(self.halo_point_cov_mean),
+            halo_vox_mean=cast(self.halo_vox_mean),
+            halo_vox_cov=cast(self.halo_vox_cov),
+            halo_vox_coord=jnp.asarray(self.halo_vox_coord),
             voxel_size=self.voxel_size,
             tile_size=self.tile_size,
             tx0=self.tx0,
@@ -276,9 +262,15 @@ class HostTileMap:
         — swapping windows never recompiles. The world offset rides along
         as ``world_offset`` (a dynamic device leaf after ``to_device``);
         ``register.run_register`` conjugates poses by it, making results
-        identical to the full map for any query whose 3x3-tile neighborhood
-        lies inside the window. Out-of-map tiles are filled from the
-        sentinel row (empty).
+        identical to the full map for any query whose tile lies inside the
+        window (halo rows carry their full-map contents, so exactness
+        extends one voxel past the window boundary). Out-of-map tiles are
+        filled from the sentinel row (empty).
+
+        Note: the offset is an exact multiple of tile_size quantized to the
+        device dtype; for voxel sizes whose tile_size is not exactly
+        f32-representable the shifted floor(p/voxel) binning can differ from
+        the full map for points within one ulp of a voxel boundary.
         """
         if dims is None:
             nx = min(2 * radius_tiles + 1, self.tx_dim)
@@ -290,7 +282,8 @@ class HostTileMap:
         t_full = self.tx_dim * self.ty_dim  # sentinel row index
         gx = np.arange(x0 - self.tx0, x0 - self.tx0 + nx)
         gy = np.arange(y0 - self.ty0, y0 - self.ty0 + ny)
-        in_map = (gx[:, None] >= 0) & (gx[:, None] < self.tx_dim)             & (gy[None, :] >= 0) & (gy[None, :] < self.ty_dim)
+        in_map = (gx[:, None] >= 0) & (gx[:, None] < self.tx_dim) \
+            & (gy[None, :] >= 0) & (gy[None, :] < self.ty_dim)
         rows = gx[:, None] * self.ty_dim + gy[None, :]
         rows = np.where(in_map, rows, t_full).reshape(-1)
 
@@ -320,36 +313,14 @@ class HostTileMap:
                 a[keep] = sentinel
             return a
 
-        def shift_xy_t(a, o, sentinel=None):
-            # transposed layout [T+1, 3, Kp]: axis 1 is the coordinate
-            if a is None:
-                return None
-            a = a.copy()
-            keep = None if sentinel is None else (a[:, 0, :] == sentinel)
-            a[:, 0, :] -= o[0]
-            a[:, 1, :] -= o[1]
-            if keep is not None:
-                a[:, 0, :][keep] = sentinel
-                a[:, 1, :][keep] = sentinel
-            return a
-
         return HostTileMap(
-            tile_points=shift_xy(sel(self.tile_points), off),
-            tile_counts=sel(self.tile_counts),
-            tile_point_cov=sel(self.tile_point_cov),
-            tile_point_cov_mean=shift_xy(sel(self.tile_point_cov_mean), off),
-            tile_vox_mean=shift_xy(sel(self.tile_vox_mean), off),
-            tile_vox_cov=sel(self.tile_vox_cov),
-            tile_vox_coord=shift_xy(sel(self.tile_vox_coord), voff,
+            halo_points=shift_xy(sel(self.halo_points), off),
+            halo_point_cov=sel(self.halo_point_cov),
+            halo_point_cov_mean=shift_xy(sel(self.halo_point_cov_mean), off),
+            halo_vox_mean=shift_xy(sel(self.halo_vox_mean), off),
+            halo_vox_cov=sel(self.halo_vox_cov),
+            halo_vox_coord=shift_xy(sel(self.halo_vox_coord), voff,
                                     sentinel=_COORD_SENTINEL),
-            tile_vox_counts=sel(self.tile_vox_counts),
-            tile_points_t=shift_xy_t(sel(self.tile_points_t),
-                                     off.astype(np.float32)),
-            tile_vox_mean_t=shift_xy_t(sel(self.tile_vox_mean_t),
-                                       off.astype(np.float32)),
-            tile_vox_coord_t=shift_xy_t(sel(self.tile_vox_coord_t), voff,
-                                        sentinel=_COORD_SENTINEL),
-            tile_vox_cov_t=sel(self.tile_vox_cov_t),
             voxel_size=self.voxel_size,
             tile_size=self.tile_size,
             tx0=0,
@@ -382,8 +353,20 @@ def assign_slots(tmap: TileMap, queries, valid, budget: TileQueryBudget) -> Slot
     qv = jnp.floor(queries / tmap.voxel_size).astype(jnp.int32)
     tx = jnp.floor(queries[:, 0] / tmap.tile_size).astype(jnp.int32) - tmap.tx0
     ty = jnp.floor(queries[:, 1] / tmap.tile_size).astype(jnp.int32) - tmap.ty0
-    in_grid = (tx >= 0) & (tx < tmap.tx_dim) & (ty >= 0) & (ty < tmap.ty_dim)
-    tile = jnp.where(valid & in_grid, tx * tmap.ty_dim + ty, t_sent)
+    # A query up to one voxel OUTSIDE the tile grid still reaches in-grid
+    # voxels with its 27-voxel cube (hash-grid semantics); clamp its tile to
+    # the edge — the edge tile's halo holds exactly the reachable voxels and
+    # the cube mask rejects the rest. Farther out the cube is provably empty.
+    tv = int(round(tmap.tile_size / tmap.voxel_size))
+    in_reach = (
+        (qv[:, 0] >= tmap.tx0 * tv - 1)
+        & (qv[:, 0] <= (tmap.tx0 + tmap.tx_dim) * tv)
+        & (qv[:, 1] >= tmap.ty0 * tv - 1)
+        & (qv[:, 1] <= (tmap.ty0 + tmap.ty_dim) * tv)
+    )
+    tx = jnp.clip(tx, 0, tmap.tx_dim - 1)
+    ty = jnp.clip(ty, 0, tmap.ty_dim - 1)
+    tile = jnp.where(valid & in_reach, tx * tmap.ty_dim + ty, t_sent)
 
     order = jnp.argsort(tile)  # stable
     st = tile[order]
@@ -433,23 +416,6 @@ def _slot_centers(tmap: TileMap, slot_tile, dtype):
     return jnp.stack(
         [(tx + 0.5) * tmap.tile_size, (ty + 0.5) * tmap.tile_size, zeros], axis=-1
     )
-
-
-def _neighbor_tiles(tmap: TileMap, slot_tile):
-    """[S] tile id -> [S,9] neighbor tile ids (sentinel outside the grid)."""
-    t_sent = tmap.sentinel
-    tx = slot_tile // tmap.ty_dim
-    ty = slot_tile % tmap.ty_dim
-    offs = jnp.asarray(
-        [[dx, dy] for dx in (-1, 0, 1) for dy in (-1, 0, 1)], dtype=jnp.int32
-    )
-    nx = tx[:, None] + offs[None, :, 0]
-    ny = ty[:, None] + offs[None, :, 1]
-    ok = (
-        (slot_tile != t_sent)[:, None]
-        & (nx >= 0) & (nx < tmap.tx_dim) & (ny >= 0) & (ny < tmap.ty_dim)
-    )
-    return jnp.where(ok, nx * tmap.ty_dim + ny, t_sent)
 
 
 def _cube_mask(qvox, cvox):
@@ -508,21 +474,15 @@ def nearest_point_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask, max_dist,
     Returns (target [S,QB,3], ok [S,QB]) + (cov [S,QB,3,3], mean [S,QB,3])
     when ``with_point_cov``.
     """
-    if budget.pallas:
-        return _nearest_point_slots_pallas(
-            tmap, slot_tile, qbuf, qvox, qmask, max_dist,
-            with_point_cov=with_point_cov,
-        )
-    nbr = _neighbor_tiles(tmap, slot_tile)              # [S,9]
-    mtp = tmap.tile_points.shape[1]
+    mhp = tmap.halo_points.shape[1]
 
     def per_slot(args):
-        q, qv, qm, nb, ctr = args                        # [QB,3],[QB,3],[QB],[9],[3]
-        cand = tmap.tile_points[nb].reshape(9 * mtp, 3)  # 9 contiguous slices
+        q, qv, qm, tid, ctr = args                       # [QB,3],[QB,3],[QB],[],[3]
+        cand = tmap.halo_points[tid]                     # [MHP,3] one DMA
         finite = jnp.isfinite(cand[:, 0])
         cand_safe = jnp.where(finite[:, None], cand, 0.0)  # keep inf out of MXU
         cvox = jnp.floor(cand_safe / tmap.voxel_size).astype(jnp.int32)
-        cube = _cube_mask(qv, cvox) & finite[None, :]    # [QB, 9*MTP]
+        cube = _cube_mask(qv, cvox) & finite[None, :]    # [QB, MHP]
         # dense squared distance via the MXU on tile-local coordinates
         ql = q - ctr
         cl = jnp.where(finite[:, None], cand_safe - ctr, 0.0)
@@ -537,15 +497,15 @@ def nearest_point_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask, max_dist,
         ok = qm & (best_d2 < max_dist * max_dist)
         # gather-free selection: one-hot row-select as a matmul
         onehot = (
-            jnp.arange(9 * mtp, dtype=jnp.int32)[None, :] == best[:, None]
-        ).astype(q.dtype)                                # [QB, 9*MTP]
+            jnp.arange(mhp, dtype=jnp.int32)[None, :] == best[:, None]
+        ).astype(q.dtype)                                # [QB, MHP]
         tgt = jnp.where(
             ok[:, None], jnp.matmul(onehot, cand_safe, precision=_HI), q
         )
         outs = (tgt, ok)
         if with_point_cov:
-            ccov = tmap.tile_point_cov[nb].reshape(9 * mtp, 9)
-            cmean = tmap.tile_point_cov_mean[nb].reshape(9 * mtp, 3)
+            ccov = tmap.halo_point_cov[tid].reshape(mhp, 9)
+            cmean = tmap.halo_point_cov_mean[tid]
             cmean = jnp.where(finite[:, None], cmean, 0.0)  # inf pad -> NaN in matmul
             bc = jnp.matmul(onehot, ccov, precision=_HI).reshape(-1, 3, 3)
             bm = jnp.matmul(onehot, cmean, precision=_HI)
@@ -557,7 +517,7 @@ def nearest_point_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask, max_dist,
         return outs
 
     centers = _slot_centers(tmap, slot_tile, qbuf.dtype)
-    xs = (qbuf, qvox, qmask, nbr, centers)
+    xs = (qbuf, qvox, qmask, slot_tile, centers)
     return _chunked(per_slot, xs, chunk)
 
 
@@ -593,17 +553,12 @@ def nearest_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
     """Slot-layout core of :func:`query_nearest_voxel_cov` (see
     :func:`nearest_point_slots` for why). Returns
     (cov [S,QB,3,3], mean [S,QB,3], ok [S,QB])."""
-    if budget.pallas:
-        return _nearest_voxel_cov_slots_pallas(
-            tmap, slot_tile, qbuf, qvox, qmask, max_dist
-        )
-    nbr = _neighbor_tiles(tmap, slot_tile)
-    mtv = tmap.tile_vox_mean.shape[1]
+    mhv = tmap.halo_vox_mean.shape[1]
 
     def per_slot(args):
-        q, qv, qm, nb, ctr = args
-        means = tmap.tile_vox_mean[nb].reshape(9 * mtv, 3)
-        cvox = tmap.tile_vox_coord[nb].reshape(9 * mtv, 3)
+        q, qv, qm, tid, ctr = args
+        means = tmap.halo_vox_mean[tid]                  # [MHV,3]
+        cvox = tmap.halo_vox_coord[tid]                  # [MHV,3]
         occupied = cvox[:, 0] != _COORD_SENTINEL
         cube = _cube_mask(qv, cvox) & occupied[None, :]
         m_safe = jnp.where(occupied[:, None], means, 0.0)
@@ -619,10 +574,10 @@ def nearest_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
         best_d2 = jnp.min(d2, axis=1)
         ok = qm & (best_d2 < max_dist * max_dist)
         onehot = (
-            jnp.arange(9 * mtv, dtype=jnp.int32)[None, :] == best[:, None]
+            jnp.arange(mhv, dtype=jnp.int32)[None, :] == best[:, None]
         ).astype(q.dtype)
         covs = jnp.matmul(
-            onehot, tmap.tile_vox_cov[nb].reshape(9 * mtv, 9), precision=_HI
+            onehot, tmap.halo_vox_cov[tid].reshape(mhv, 9), precision=_HI
         ).reshape(-1, 3, 3)
         bmean = jnp.matmul(onehot, m_safe, precision=_HI)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=covs.dtype), covs.shape)
@@ -633,7 +588,7 @@ def nearest_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
         )
 
     centers = _slot_centers(tmap, slot_tile, qbuf.dtype)
-    return _chunked(per_slot, (qbuf, qvox, qmask, nbr, centers), chunk)
+    return _chunked(per_slot, (qbuf, qvox, qmask, slot_tile, centers), chunk)
 
 
 def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
@@ -662,26 +617,21 @@ def all_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
     """Slot-layout core of :func:`query_all_voxel_cov` (see
     :func:`nearest_point_slots` for why). Returns
     (cov [S,QB,7,3,3], mean [S,QB,7,3], ok [S,QB,7])."""
-    if budget.pallas:
-        return _all_voxel_cov_slots_pallas(
-            tmap, slot_tile, qbuf, qvox, qmask, max_dist
-        )
-    nbr = _neighbor_tiles(tmap, slot_tile)
-    mtv = tmap.tile_vox_mean.shape[1]
+    mhv = tmap.halo_vox_mean.shape[1]
     off7 = jnp.asarray(OFFSETS_7)
 
     def per_slot(args):
-        q, qv, qm, nb = args
-        means = tmap.tile_vox_mean[nb].reshape(9 * mtv, 3)
-        cvox = tmap.tile_vox_coord[nb].reshape(9 * mtv, 3)
-        covs = tmap.tile_vox_cov[nb].reshape(9 * mtv, 3, 3)
+        q, qv, qm, tid = args
+        means = tmap.halo_vox_mean[tid]
+        cvox = tmap.halo_vox_coord[tid]
+        covs = tmap.halo_vox_cov[tid]
         occupied = cvox[:, 0] != _COORD_SENTINEL
         want = qv[:, None, :] + off7[None, :, :]          # [QB,7,3]
         # exact-coordinate match over the candidate set; a coordinate occurs
         # at most once, so eq doubles as a one-hot selector
         eq = jnp.all(
             cvox[None, None, :, :] == want[:, :, None, :], axis=-1
-        ) & occupied[None, None, :]                        # [QB,7,9*MTV]
+        ) & occupied[None, None, :]                        # [QB,7,MHV]
         found = jnp.any(eq, axis=-1)
         sel = eq.astype(q.dtype)
         means_safe = jnp.where(occupied[:, None], means, 0.0)
@@ -689,7 +639,7 @@ def all_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
         d2 = jnp.sum((m_safe - q[:, None, :]) ** 2, axis=-1)
         ok = qm[:, None] & found & (d2 < max_dist * max_dist)
         c = jnp.einsum(
-            "qon,nk->qok", sel, covs.reshape(9 * mtv, 9), precision=_HI
+            "qon,nk->qok", sel, covs.reshape(mhv, 9), precision=_HI
         ).reshape(-1, 7, 3, 3)
         eye = jnp.broadcast_to(jnp.eye(3, dtype=c.dtype), c.shape)
         return (
@@ -698,7 +648,7 @@ def all_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
             ok,
         )
 
-    return _chunked(per_slot, (qbuf, qvox, qmask, nbr), chunk)
+    return _chunked(per_slot, (qbuf, qvox, qmask, slot_tile), chunk)
 
 
 def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
@@ -720,76 +670,4 @@ def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
         (jnp.zeros(7, dtype=bool), res[2]),
     )
     mean = jnp.where(ok[..., None], mean, queries[:, None, :])
-    return cov, mean, ok
-
-
-# --------------------------------------------------------------------------- #
-# Pallas-fused variants
-# --------------------------------------------------------------------------- #
-
-def _nearest_point_slots_pallas(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
-                                max_dist, *, with_point_cov: bool = False):
-    from ..pallas.corr_kernels import nearest_point_pallas
-
-    if tmap.tile_points_t is None:
-        raise ValueError("map built without for_pallas=True")
-    tgt, d2, idx = nearest_point_pallas(
-        tmap, qbuf.astype(jnp.float32), qvox, slot_tile
-    )
-    tgt = tgt.astype(qbuf.dtype)
-    ok = qmask & (d2 < max_dist * max_dist)
-    target = jnp.where(ok[..., None], tgt, qbuf)
-    if not with_point_cov:
-        return target, ok
-    # Per-query payload gather from the untransposed arrays ([S,QB] rows).
-    mtp_p = tmap.tile_points_t.shape[2]
-    nbr = _neighbor_tiles(tmap, slot_tile)
-    nbr_k = idx // mtp_p                                   # [S,QB] neighbor 0..8
-    slot_in_tile = idx % mtp_p
-    tile_row = jnp.take_along_axis(nbr, nbr_k, axis=1)     # [S,QB]
-    tile_safe = jnp.where(ok, tile_row, tmap.sentinel)
-    slot_safe = jnp.where(
-        ok, jnp.minimum(slot_in_tile, tmap.tile_point_cov.shape[1] - 1), 0
-    )
-    cov = tmap.tile_point_cov[tile_safe, slot_safe].astype(qbuf.dtype)
-    mean = tmap.tile_point_cov_mean[tile_safe, slot_safe].astype(qbuf.dtype)
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    cov = jnp.where(ok[..., None, None], cov, eye)
-    mean = jnp.where(ok[..., None] & jnp.isfinite(mean), mean, qbuf)
-    return target, ok, cov, mean
-
-
-def _nearest_voxel_cov_slots_pallas(tmap: TileMap, slot_tile, qbuf, qvox,
-                                    qmask, max_dist):
-    from ..pallas.corr_kernels import nearest_voxel_cov_pallas
-
-    if tmap.tile_vox_mean_t is None:
-        raise ValueError("map built without for_pallas=True")
-    mean, cov9, d2 = nearest_voxel_cov_pallas(
-        tmap, qbuf.astype(jnp.float32), qvox, slot_tile
-    )
-    ok = qmask & (d2 < max_dist * max_dist)
-    cov = cov9.astype(qbuf.dtype).reshape(qbuf.shape[:2] + (3, 3))
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    cov = jnp.where(ok[..., None, None], cov, eye)
-    mean = jnp.where(ok[..., None], mean.astype(qbuf.dtype), qbuf)
-    return cov, mean, ok
-
-
-def _all_voxel_cov_slots_pallas(tmap: TileMap, slot_tile, qbuf, qvox,
-                                qmask, max_dist):
-    from ..pallas.corr_kernels import all_voxel_cov_pallas
-
-    if tmap.tile_vox_mean_t is None:
-        raise ValueError("map built without for_pallas=True")
-    mean, cov9, found = all_voxel_cov_pallas(
-        tmap, qbuf.astype(jnp.float32), qvox, slot_tile
-    )
-    mean = mean.astype(qbuf.dtype)
-    d2 = jnp.sum((mean - qbuf[:, :, None, :]) ** 2, axis=-1)
-    ok = qmask[:, :, None] & (found > 0.5) & (d2 < max_dist * max_dist)
-    cov = cov9.astype(qbuf.dtype).reshape(qbuf.shape[:2] + (7, 3, 3))
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=cov.dtype), cov.shape)
-    cov = jnp.where(ok[..., None, None], cov, eye)
-    mean = jnp.where(ok[..., None], mean, qbuf[:, :, None, :])
     return cov, mean, ok

@@ -16,7 +16,7 @@ from elimaloc_tpu.map import tiles
 
 RNG = np.random.default_rng(33)
 BUDGET = TileQueryBudget(qb=32, max_slots=1024)
-BUDGET_P = TileQueryBudget(qb=8, max_slots=1024, pallas=True)
+BUDGET_S = TileQueryBudget(qb=8, max_slots=1024)  # small-qb slot shape
 
 
 def make_maps(n=4000, extent=15.0, voxel=1.0, max_pts=10, **kw):
@@ -31,8 +31,8 @@ def queries(n=512, extent=16.0):
 
 
 class TestNearestPoint:
-    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
-                             ids=["xla", "pallas"])
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_S],
+                             ids=["qb32", "qb8"])
     def test_matches_hash_grid(self, budget):
         grid, tmap = make_maps()
         q = queries()
@@ -54,8 +54,8 @@ class TestNearestPoint:
         t_t, v_t = tiles.query_nearest_point(tmap, q, v_in, 5.0, BUDGET)
         assert not np.asarray(v_t)[1::2].any()
 
-    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
-                             ids=["xla", "pallas"])
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_S],
+                             ids=["qb32", "qb8"])
     def test_gicp_payloads_match(self, budget):
         grid, tmap = make_maps(compute_point_cov=True, gicp_cov_search_dist=0.5)
         q = queries(256)
@@ -77,8 +77,8 @@ class TestNearestPoint:
 
 
 class TestVoxelCov:
-    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
-                             ids=["xla", "pallas"])
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_S],
+                             ids=["qb32", "qb8"])
     def test_matches_hash_grid(self, budget):
         grid, tmap = make_maps(compute_voxel_cov=True)
         q = queries()
@@ -96,8 +96,8 @@ class TestVoxelCov:
 
 
 class TestAllVoxelCov:
-    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_P],
-                             ids=["xla", "pallas"])
+    @pytest.mark.parametrize("budget", [BUDGET, BUDGET_S],
+                             ids=["qb32", "qb8"])
     def test_matches_hash_grid(self, budget):
         grid, tmap = make_maps(compute_voxel_cov=True)
         q = queries()

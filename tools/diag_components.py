@@ -34,7 +34,7 @@ def main():
     t0 = float(log.imu_t[0])
     static2 = make_icp_static(
         pipe.cfg.pcm, backend="tile",
-        tile_budget=TileQueryBudget(qb=8, max_slots=5120, pallas=True))
+        tile_budget=TileQueryBudget(qb=32, max_slots=2560))
 
     ds_fn = jax.jit(lambda p, v, n: voxel_downsample(p, v, 1.5, n),
                     static_argnums=2)

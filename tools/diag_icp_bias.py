@@ -1,5 +1,5 @@
 """Isolate the intrinsic ICP bias: static scan, truth deskew, several inits,
-across correspondence backends (tile+pallas / tile / hash)."""
+across correspondence backends (tile qb8 / tile qb32 / hash)."""
 import sys
 
 import numpy as np
@@ -48,14 +48,14 @@ def main():
     )(jnp.asarray(truth_desk), jnp.asarray(valid))
     print("kept:", int(kept))
 
-    st_pal = make_icp_static(pipe.cfg.pcm, backend="tile",
-                             tile_budget=TileQueryBudget(qb=8, max_slots=5120, pallas=True))
+    st_qb8 = make_icp_static(pipe.cfg.pcm, backend="tile",
+                             tile_budget=TileQueryBudget(qb=8, max_slots=5120))
     st_tile = make_icp_static(pipe.cfg.pcm, backend="tile",
-                              tile_budget=TileQueryBudget(qb=8, max_slots=5120, pallas=False))
+                              tile_budget=TileQueryBudget(qb=32, max_slots=2560))
     st_hash = make_icp_static(pipe.cfg.pcm, backend="hash")
 
     regs = {
-        "pallas": jax.jit(lambda p, v, i: run_register(p, v, pipe.map, i, pipe.params.icp, st_pal)),
+        "qb8": jax.jit(lambda p, v, i: run_register(p, v, pipe.map, i, pipe.params.icp, st_qb8)),
         "tile": jax.jit(lambda p, v, i: run_register(p, v, pipe.map, i, pipe.params.icp, st_tile)),
         "hash": jax.jit(lambda p, v, i: run_register(p, v, hash_map, i, pipe.params.icp, st_hash)),
     }

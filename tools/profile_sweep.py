@@ -53,7 +53,7 @@ def main():
         pipe.static,
         icp_static=dataclasses.replace(
             pipe.static.icp_static,
-            tile_budget=TileQueryBudget(qb=32, max_slots=1536, pallas=True)))
+            tile_budget=TileQueryBudget(qb=32, max_slots=1536)))
     fused_time(qb32, "qb32 it10")
 
     # isolated run_register qb sweep at truth-ish init
@@ -69,12 +69,11 @@ def main():
     T[:2, :2] = [[c_, -s_], [s_, c_]]
     T[:3, 3] = pose_t[0] + [0.3, -0.2, 0.02]
     R = 20
-    for qb, slots, pal in [(8, 4096, True), (16, 2048, True),
-                           (32, 1536, True), (64, 1280, True),
-                           (32, 1536, False)]:
+    for qb, slots in [(8, 4096), (16, 2048), (32, 1536), (64, 1280),
+                      (128, 640)]:
         st = dataclasses.replace(
             pipe.static.icp_static,
-            tile_budget=TileQueryBudget(qb=qb, max_slots=slots, pallas=pal))
+            tile_budget=TileQueryBudget(qb=qb, max_slots=slots))
 
         def reg_f(p, v, i0):
             def rep(i, c):
@@ -90,7 +89,7 @@ def main():
         out = float(f(dsp, dsv, jnp.asarray(T)))
         dt = (time.time() - t0 - RTT) / R
         iters = (out % 1e-3) / 1e-6
-        print(f"run_register qb={qb} slots={slots} pallas={pal}: "
+        print(f"run_register qb={qb} slots={slots}: "
               f"{dt*1e3:.2f} ms (iters~{iters:.0f})", flush=True)
 
 
