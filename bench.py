@@ -16,6 +16,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -59,6 +60,33 @@ def _cfg(method=IcpMethod.P2P):
     return cfg
 
 
+def autosize_budgets(log, voxel_ds, tile_size, qb=32, headroom=0.15):
+    """Static shape budgets sized FROM the log (host numpy pre-pass):
+    ds_points covers the densest scan's occupied downsample voxels plus
+    ``headroom``; max_slots covers that scan's occupied query tiles plus the
+    per-tile chunking overhead (VERDICT r2 item 7: a 1.7%-margin budget is
+    not a guard)."""
+    max_kept = 0
+    max_slots = 0
+    for k in range(len(log.scan_t)):
+        p = log.scan_points[k][log.scan_valid[k]]
+        vox = np.unique(np.floor(p / voxel_ds).astype(np.int64), axis=0)
+        kept = len(vox)
+        # slots: one per (tile, qb-chunk); ds points land one-per-voxel
+        tiles, cnt = np.unique(
+            np.floor(vox[:, :2] * voxel_ds / tile_size).astype(np.int64),
+            axis=0, return_counts=True,
+        )
+        slots = int(np.ceil(cnt / qb).sum())
+        max_kept = max(max_kept, kept)
+        max_slots = max(max_slots, slots)
+    rup = lambda x, m: int(np.ceil(x / m) * m)
+    return (
+        rup(max_kept * (1 + headroom), 512),
+        rup(max_slots * (1 + headroom), 8),
+    )
+
+
 def build_everything():
     world = make_world(seed=3, extent=120.0, n_ground=400_000, n_wall=200_000)
     log = synthesize_log(
@@ -74,13 +102,16 @@ def build_everything():
     log.scan_times = np.ascontiguousarray(log.scan_times[:, sl])
     log.scan_valid = np.ascontiguousarray(log.scan_valid[:, sl])
 
+    cfg = _cfg()
+    ds_points, max_slots = autosize_budgets(
+        log, float(cfg.pcm.input_voxel_ds_m), 4.0 * cfg.pcm.pcm_voxel_size
+    )
     pipe = LocalizationPipeline(
-        _cfg(), world,
-        ds_points=16384,
-        # qb=32 dense-tile path: measured fastest at this scale (the Pallas
-        # kernels win at qb=8 but lose to the XLA dense path at qb>=16;
-        # see tools/profile_sweep.py)
-        tile_budget=TileQueryBudget(qb=32, max_slots=2560),
+        cfg, world,
+        ds_points=ds_points,
+        # qb=32 halo-block path: measured fastest at this scale
+        # (tools/profile_sweep.py)
+        tile_budget=TileQueryBudget(qb=32, max_slots=max_slots),
         ego_ring_size=512, imu_ring_size=256,
     )
     return pipe, log
@@ -120,13 +151,76 @@ def bench_tpu(pipe, log):
     applied = float(np.asarray(outs["applied"]).mean())
     dropped = int(np.asarray(outs["slots_dropped"]).max())
     ds_kept = int(np.asarray(outs["ds_kept"]).max())
-    assert dropped == 0, (
-        f"tile-slot budget undersized: {dropped} queries dropped"
+    # Saturation is REPORTED, not asserted (a seed change must not break the
+    # one-JSON-line contract); budgets come from autosize_budgets with >=15%
+    # headroom, so nonzero drops here mean that policy failed.
+    if dropped:
+        print(f"WARNING: tile-slot budget undersized: {dropped} dropped",
+              file=sys.stderr)
+    if ds_kept >= pipe.static.ds_points:
+        print("WARNING: downsample budget saturated", file=sys.stderr)
+
+    # Analytic FLOP model of the executed math (XLA's cost_analysis does not
+    # descend into scan/while bodies on this backend). Constants documented
+    # in BENCH_NOTES; MFU convention: fraction of the chip's bf16 MXU peak
+    # (197 TFLOP/s on v5e).
+    iters_total = int(np.asarray(outs["iterations"]).sum())
+    s_slots = pipe.static.icp_static.tile_budget.max_slots
+    qb = pipe.static.icp_static.tile_budget.qb
+    mhp = int(pipe.map.halo_points.shape[1])
+    n_imu = int(batches["imu_t"].shape[0] * batches["imu_t"].shape[1])
+    n_raw = int(batches["scan_points"].shape[1])
+    flops = (
+        iters_total * (s_slots * qb * mhp * 16           # dense corr + select
+                       + pipe.static.ds_points * 400)    # GN tail per row
+        + n_imu * 81_000                                 # 27x27 F P F^T + Q
+        + n * n_raw * 80                                 # deskew per point
     )
-    assert ds_kept < pipe.static.ds_points, (
-        f"downsample budget saturated: kept {ds_kept} of {pipe.static.ds_points}"
+    tflops = flops / dt / 1e12
+    mfu = tflops / 197.0
+
+    return dict(
+        scans_per_s=n / dt, ate=ate, ate_tail=ate_tail, applied=applied,
+        ds_kept=ds_kept, host_prep=host_prep, dropped=dropped,
+        ds_budget=pipe.static.ds_points,
+        ds_headroom=round(1.0 - ds_kept / pipe.static.ds_points, 4),
+        flops_per_scan=flops / n, achieved_tflops=round(tflops, 3),
+        mfu_bf16_peak=round(mfu, 5),
     )
-    return n / dt, ate, ate_tail, applied, ds_kept, host_prep
+
+
+def bench_latency(pipe, log, n_frames=20):
+    """Single-frame dispatch latency (the online serving metric): one
+    fused_frame_at call + scalar readback per frame, relay round-trip
+    subtracted (measured, not assumed)."""
+    from elimaloc_tpu.pipeline.runtime import build_fused_batches
+
+    state = pipe.reset()
+    pipe._rebase(min(log.imu_t[0], log.scan_t[0]))
+    batches = build_fused_batches(log, time_base=pipe.time_base)
+    # measure the relay RTT with a trivial readback
+    tiny = jnp.asarray(1.0)
+    float(tiny + 0)
+    rtts = []
+    for _ in range(7):
+        t0 = time.time()
+        float(jnp.sum(batches["scan_t"]))
+        rtts.append(time.time() - t0)
+    rtt = float(np.median(rtts))
+    # warm up the frame program
+    state, out = pipe._frame_at(state, batches, jnp.asarray(0, jnp.int32),
+                                pipe.map)
+    float(out["ego_t"])
+    lats = []
+    for k in range(1, min(n_frames + 1, len(log.scan_t))):
+        t0 = time.time()
+        state, out = pipe._frame_at(
+            state, batches, jnp.asarray(k, jnp.int32), pipe.map
+        )
+        float(out["ego_t"])
+        lats.append(max(time.time() - t0 - rtt, 0.0))
+    lats = np.asarray(lats) * 1e3
+    return float(np.percentile(lats, 50)), float(np.percentile(lats, 95))
 
 
 def bench_streaming(pipe, log):
@@ -347,7 +441,8 @@ def bench_methods():
 
 def main():
     pipe, log = build_everything()
-    tpu_sps, ate, ate_tail, applied, ds_kept, host_prep = bench_tpu(pipe, log)
+    r = bench_tpu(pipe, log)
+    lat_p50, lat_p95 = bench_latency(pipe, log)
     stream_sps = bench_streaming(pipe, log)
     icp_sps = bench_icp_batched(pipe, log)
     ekf_sps = bench_ekf_steps(pipe)
@@ -360,9 +455,9 @@ def main():
             {
                 "metric": "fused localization scans/sec (128k-pt scans, "
                           "deskew+P2P ICP+EKF)",
-                "value": round(tpu_sps, 2),
+                "value": round(r["scans_per_s"], 2),
                 "unit": "scans/s",
-                "vs_baseline": round(tpu_sps / baseline, 2),
+                "vs_baseline": round(r["scans_per_s"] / baseline, 2),
                 "baseline_kind": (
                     "native C++ single-core scan step" if cpu_native_sps
                     else "NumPy single-core scan step"
@@ -372,13 +467,21 @@ def main():
                 ),
                 "cpu_numpy_scans_per_s": round(cpu_numpy_sps, 3),
                 "streaming_scans_per_s": round(stream_sps, 2),
+                "latency_p50_ms": round(lat_p50, 2),
+                "latency_p95_ms": round(lat_p95, 2),
                 "icp_batched_scans_per_s": round(icp_sps, 2),
                 "ekf_steps_per_s": round(ekf_sps, 1),
-                "ate_rmse_m": round(ate, 4),
-                "ate_tail_m": round(ate_tail, 4),
-                "applied_ratio": round(applied, 3),
-                "ds_kept_max": ds_kept,
-                "host_batch_prep_s": round(host_prep, 3),
+                "ate_rmse_m": round(r["ate"], 4),
+                "ate_tail_m": round(r["ate_tail"], 4),
+                "applied_ratio": round(r["applied"], 3),
+                "ds_kept_max": r["ds_kept"],
+                "ds_budget": r["ds_budget"],
+                "ds_headroom": r["ds_headroom"],
+                "slots_dropped": r["dropped"],
+                "flops_per_scan": round(r["flops_per_scan"]),
+                "achieved_tflops": r["achieved_tflops"],
+                "mfu_bf16_peak": r["mfu_bf16_peak"],
+                "host_batch_prep_s": round(r["host_prep"], 3),
                 "per_method": methods,
                 "device": str(jax.devices()[0]),
             }

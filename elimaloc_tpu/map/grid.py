@@ -284,8 +284,15 @@ def voxel_downsample(points, valid, voxel_size, out_size: int):
     keys = point_to_voxel(points, voxel_size)
     # 32-bit mixed key (uint64 needs x64 mode): rare hash collisions are
     # resolved by comparing the sorted neighbors' actual coords, so at worst
-    # an interleaved collision keeps one extra point for a voxel.
-    key = jnp.where(valid, _mix(keys), jnp.uint32(0xFFFFFFFF))
+    # an interleaved collision keeps one extra point for a voxel. 0xFFFFFFFF
+    # is RESERVED for invalid rows (a valid point hashing there would sort
+    # among the pads, whose garbage coords could swallow its first-per-voxel
+    # slot); clamping to 0xFFFFFFFE merely adds one more benign collision.
+    key = jnp.where(
+        valid,
+        jnp.minimum(_mix(keys), jnp.uint32(0xFFFFFFFE)),
+        jnp.uint32(0xFFFFFFFF),
+    )
     order = jnp.argsort(key, stable=True)  # equal keys stay in input order
     sc = keys[order]
     sv = valid[order]

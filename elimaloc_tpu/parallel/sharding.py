@@ -138,6 +138,74 @@ def register_batch_2d(scans, valids, grid, init_poses, params: IcpParams,
     return inner(scans, valids, grid, init_poses, params)
 
 
+def _slot_shard_static(ps, axis: str):
+    """PipelineStatic with the ICP slot axis sharded over ``axis``."""
+    import dataclasses
+
+    return dataclasses.replace(
+        ps,
+        icp_static=dataclasses.replace(ps.icp_static, slot_shard_axis=axis),
+    )
+
+
+def replay_fused_sp(state, batches, tmap, pp, ps, mesh: Mesh,
+                    axis: str = "sp"):
+    """The FULL fused pipeline (IMU sub-scan + deskew + downsample + ICP +
+    EKF) for ONE stream, multi-chip: every stage runs replicated except the
+    ICP correspondence + Gauss-Newton partials, whose tile-slot axis shards
+    over ``axis`` (register/icp.py slot_shard_axis) with one 6x6-partial
+    psum per iteration riding ICI. State/batches/map are replicated; outputs
+    are identical on every device (up to f32 summation order).
+
+    This is the single-stream LATENCY mode: the dense correspondence —
+    the dominant per-frame cost — divides by the mesh size while the psum
+    payload is ~60 scalars per ICP iteration."""
+    from ..pipeline.runtime import replay_fused
+
+    ps_sp = _slot_shard_static(ps, axis)
+    rep = jax.tree_util.tree_map(lambda _: P(), (state, batches, tmap, pp))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=rep, out_specs=P(),
+        check_vma=False,
+    )
+    def inner(state_l, batches_l, tmap_l, pp_l):
+        return replay_fused(state_l, batches_l, tmap_l, pp_l, ps_sp)
+
+    return inner(state, batches, tmap, pp)
+
+
+def replay_fused_2d(states, batches, tmap, pp, ps, mesh: Mesh,
+                    dp_axis: str = "dp", sp_axis: str = "sp"):
+    """Flagship 2D multi-chip fused replay: independent streams shard over
+    ``dp_axis`` (fleet replay, zero cross-talk) while each stream's ICP slot
+    axis shards over ``sp_axis``. A (dp, sp) mesh runs dp streams at sp-chip
+    single-stream latency."""
+    from ..pipeline.runtime import replay_fused
+
+    ps_sp = _slot_shard_static(ps, sp_axis)
+    dp_spec = jax.tree_util.tree_map(lambda _: P(dp_axis), (states, batches))
+    rep_spec = jax.tree_util.tree_map(lambda _: P(), (tmap, pp))
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(dp_spec[0], dp_spec[1], rep_spec[0], rep_spec[1]),
+        out_specs=P(dp_axis),
+        check_vma=False,
+    )
+    def inner(states_l, batches_l, tmap_l, pp_l):
+        return jax.vmap(
+            lambda s, b: replay_fused(s, b, tmap_l, pp_l, ps_sp)
+        )(states_l, batches_l)
+
+    sh_b = NamedSharding(mesh, P(dp_axis))
+    states = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh_b), states)
+    batches = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh_b), batches)
+    tmap = replicate(tmap, mesh)
+    return inner(states, batches, tmap, pp)
+
+
 def replicate(tree, mesh: Mesh):
     """Place a pytree fully replicated on the mesh."""
     sharding = NamedSharding(mesh, P())

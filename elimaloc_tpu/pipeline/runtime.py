@@ -890,6 +890,10 @@ class LocalizationPipeline:
         self._rebase(min(log.imu_t[0], log.scan_t[0]))
         if batches is None:
             batches = build_fused_batches(log, time_base=self.time_base)
+        # one explicit H2D for the whole log: the per-frame loop must never
+        # depend on implicit argument-transfer caching (a numpy leaf here
+        # would re-upload the full log every frame over a ~35 ms relay)
+        batches = jax.device_put(batches)
         outs = []
         n = len(log.scan_t)
         for k in range(n):

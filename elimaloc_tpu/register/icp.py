@@ -79,10 +79,19 @@ class IcpStatic:
     tile_budget: maptiles.TileQueryBudget = maptiles.TileQueryBudget()
     # When set, the source-point axis is sharded across this mesh axis:
     # per-device partial (matched, JTJ, JTr, fitness numerator, valid count)
-    # are psum'd so every device runs the identical GN solve and termination
+    # are psum'd so every device runs the identical LM solve and termination
     # logic in lockstep (SURVEY.md §5.7: the reduction is associative, the
     # same property tbb::parallel_reduce exploits on the CPU).
     psum_axis: str | None = None
+    # When set (tile backend), inputs are REPLICATED and the tile-SLOT axis
+    # is sharded across this mesh axis instead: every device runs the cheap
+    # scalar-core stages (sort/pack) identically, evaluates the dense
+    # correspondence + Gauss-Newton partials for its own 1/n_dev slot range,
+    # and psums the 6x6 partials. This is how the FUSED pipeline multi-chips
+    # a single scan: spatially-random point sharding would leave each shard
+    # touching nearly every tile (slot count is tile-bound, not query-bound),
+    # so the slot axis — not the point axis — is the scaling dimension.
+    slot_shard_axis: str | None = None
 
 
 def make_icp_params(cfg: PcmConfig, dtype=jnp.float32) -> IcpParams:
@@ -465,6 +474,83 @@ def _iteration_slots(pose, src_local, src_valid, sbuf, asg, tmap, params,
     )
 
 
+def _iteration_slots_flat(pose, sbuf, asg, tmap, params, static, radar_sbuf):
+    """One RunRegister loop body on the SLOT layout with no scatter back:
+    the Gauss-Newton tails run over the flattened [S*QB] slot rows (masked).
+    Used when ``slot_shard_axis`` is set — each device holds a pre-sliced
+    slot range (``sbuf``/``asg`` already local) and its partial sums are
+    psum'd by the caller. The GN reduction is permutation-invariant, so the
+    missing scatter changes nothing but f32 summation order."""
+    budget = static.tile_budget
+    method = static.method
+    qbuf = (
+        jnp.einsum("ij,sqj->sqi", pose[:3, :3], sbuf, precision=_HI)
+        + pose[:3, 3]
+    )
+    qvox = jnp.floor(qbuf / tmap.voxel_size).astype(jnp.int32)
+    fl = lambda x: x.reshape((-1,) + x.shape[2:])
+    src_flat = fl(sbuf)
+
+    if method == int(IcpMethod.P2P):
+        tgt, ok = maptiles.nearest_point_slots(
+            tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
+            params.max_search_dist, budget,
+        )
+        return _p2p_tail(pose, src_flat, fl(tgt), fl(ok), params)
+
+    if method == int(IcpMethod.GICP):
+        _, ok, cov, cov_mean = maptiles.nearest_point_slots(
+            tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
+            params.max_search_dist, budget, with_point_cov=True,
+        )
+        return _gicp_tail(pose, src_flat, fl(cov), fl(cov_mean), fl(ok),
+                          params, static, fl(radar_sbuf) if radar_sbuf is not None else None)
+
+    if method == int(IcpMethod.VGICP):
+        cov, mean, ok = maptiles.nearest_voxel_cov_slots(
+            tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
+            params.max_search_dist, budget,
+        )
+        return _voxcov_tail(pose, src_flat, fl(cov), fl(mean), fl(ok),
+                            params, static,
+                            fl(radar_sbuf) if radar_sbuf is not None else None)
+
+    # AVGICP: up to 7 (point, voxel) pairs per slot row
+    cov, mean, ok = maptiles.all_voxel_cov_slots(
+        tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
+        params.max_search_dist, budget,
+    )
+    k = 7
+    src7 = jnp.repeat(src_flat, k, axis=0)
+    radar7 = (
+        jnp.repeat(fl(radar_sbuf), k, axis=0)
+        if radar_sbuf is not None else None
+    )
+    return _voxcov_tail(
+        pose, src7, fl(cov).reshape(-1, 3, 3), fl(mean).reshape(-1, 3),
+        fl(ok).reshape(-1), params, static, radar7,
+    )
+
+
+def _shard_slots(asg: maptiles.SlotAssignment, sbuf, radar_sbuf, axis: str,
+                 chunk: int = 8):
+    """Slice this device's slot range out of a (replicated) assignment."""
+    n_dev = jax.lax.axis_size(axis)
+    s_total = asg.slot_tile.shape[0]
+    s_loc = s_total // n_dev
+    assert s_loc * n_dev == s_total, (
+        f"max_slots={s_total} must divide the {axis!r} mesh axis ({n_dev})"
+    )
+    assert s_loc % chunk == 0, (s_loc, chunk)
+    lo = jax.lax.axis_index(axis) * s_loc
+    sl = lambda x: jax.lax.dynamic_slice_in_dim(x, lo, s_loc, axis=0)
+    asg_loc = maptiles.SlotAssignment(
+        qbuf=sl(asg.qbuf), qvox=sl(asg.qvox), qmask=sl(asg.qmask),
+        qidx=sl(asg.qidx), slot_tile=sl(asg.slot_tile), dropped=asg.dropped,
+    )
+    return asg_loc, sl(sbuf), None if radar_sbuf is None else sl(radar_sbuf)
+
+
 # --------------------------------------------------------------------------- #
 # RunRegister (cpp:273-418)
 # --------------------------------------------------------------------------- #
@@ -491,9 +577,13 @@ def run_register(
     dtype = src_local.dtype
     pose0 = jnp.asarray(initial_guess, dtype=dtype)
     total = jnp.sum(src_valid)
+    # Point-sharded mode: inputs are split, so the overlap denominator needs
+    # the global count. Slot-sharded mode: inputs are replicated — only the
+    # per-iteration partials cross devices.
     if static.psum_axis is not None:
         total = jax.lax.psum(total, static.psum_axis)
     total = jnp.maximum(total, 1).astype(dtype)
+    partial_axis = static.psum_axis or static.slot_shard_axis
 
     radar_cov = None
     if static.use_radar_cov:
@@ -522,6 +612,17 @@ def run_register(
         safe_idx = jnp.minimum(asg.qidx, n - 1)
         sbuf = jnp.where(asg.qmask[..., None], src_local[safe_idx], 0.0)
         dropped = asg.dropped.astype(jnp.int32)
+        radar_sbuf = None
+        if static.slot_shard_axis is not None:
+            if static.use_radar_cov:
+                # pack the (world-frame, pre-window-shift) per-point radar
+                # covariances into the slot layout once per registration
+                radar_sbuf = jnp.where(
+                    asg.qmask[..., None, None], radar_cov[safe_idx], 0.0
+                )
+            asg, sbuf, radar_sbuf = _shard_slots(
+                asg, sbuf, radar_sbuf, static.slot_shard_axis
+            )
     else:
         dropped = jnp.asarray(0, jnp.int32)
 
@@ -531,7 +632,11 @@ def run_register(
 
     def body(carry):
         pose, it, done, failed, fitness, local_cov, overlap = carry
-        if static.backend == "tile":
+        if static.backend == "tile" and static.slot_shard_axis is not None:
+            matched, JTJ, JTr, fit_num = _iteration_slots_flat(
+                pose, sbuf, asg, grid, params, static, radar_sbuf
+            )
+        elif static.backend == "tile":
             matched, JTJ, JTr, fit_num = _iteration_slots(
                 pose, src_local, src_valid, sbuf, asg, grid, params, static,
                 radar_cov,
@@ -540,11 +645,11 @@ def run_register(
             matched, JTJ, JTr, fit_num = _iteration(
                 pose, src_local, src_valid, grid, params, static, radar_cov
             )
-        if static.psum_axis is not None:
-            matched = jax.lax.psum(matched, static.psum_axis)
-            JTJ = jax.lax.psum(JTJ, static.psum_axis)
-            JTr = jax.lax.psum(JTr, static.psum_axis)
-            fit_num = jax.lax.psum(fit_num, static.psum_axis)
+        if partial_axis is not None:
+            matched = jax.lax.psum(matched, partial_axis)
+            JTJ = jax.lax.psum(JTJ, partial_axis)
+            JTr = jax.lax.psum(JTr, partial_axis)
+            fit_num = jax.lax.psum(fit_num, partial_axis)
         fit = fit_num / jnp.maximum(matched, 1).astype(dtype)
         ratio = matched.astype(dtype) / total
         overlap_ok = ratio >= params.min_overlap_ratio
