@@ -49,6 +49,12 @@ class DeskewInfo:
     scan_end: jnp.ndarray      # scan end time
     imu_available: jnp.ndarray  # bool
     odom_available: jnp.ndarray  # bool
+    # True when the ring still held the scan-start sample. The reference
+    # prunes its deque and silently anchors at whatever remains
+    # (pcm_matching.cpp:536-549) — same behavior here, but an undersized
+    # ring (reference reserves 2000 slots, pcm_matching.hpp:113) becomes
+    # OBSERVABLE instead of a silent partial deskew.
+    imu_covers_start: jnp.ndarray  # bool
 
 
 def normalize_scan_times(times, valid, header_stamp, scan_time_end: bool):
@@ -158,6 +164,7 @@ def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
         ring_time, ring_pos, ring_rpy, ring_vel_local, ring_gyro, ring_valid,
         scan_cur, scan_end,
     )
+    covers = imu_ok & (imu_time[first] <= scan_cur + 0.01)
     return DeskewInfo(
         imu_time=imu_time,
         imu_rot=rot,
@@ -169,6 +176,7 @@ def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
         scan_end=scan_end,
         imu_available=imu_ok,
         odom_available=odom_ok,
+        imu_covers_start=covers,
     )
 
 

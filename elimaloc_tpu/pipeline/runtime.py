@@ -346,6 +346,11 @@ def scan_step(state: PipelineState, stamp, points, rel_raw, valid, tmap,
         "icp_success": res.success,
         "deskew_ok": desk_ok,
         "pose_sync_ok": found,
+        # False = the IMU ring no longer held the scan-start sample and the
+        # deskew anchored late (the reference's silent partial-deque case,
+        # pcm_matching.cpp:536-549); size imu_ring_size for the IMU rate x
+        # worst-case scan latency (the reference reserves 2000 slots)
+        "deskew_full_cover": info.imu_covers_start,
         "fitness": res.fitness,
         "overlap": res.overlap,
         "iterations": res.iterations,
@@ -425,6 +430,12 @@ def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
     out["ego_pos"] = es["pos"]
     out["ego_rpy"] = es["rpy"]
     out["ego_t"] = es["timestamp"]
+    # covariance-health telemetry (cheap 27x27 reductions): long f32 runs
+    # must keep P symmetric with positive diagonals — tests/test_long_horizon
+    # asserts these per frame over 600-scan replays
+    P = st.ekf.P
+    out["p_asym"] = jnp.max(jnp.abs(P - P.T))
+    out["p_min_diag"] = jnp.min(jnp.diagonal(P))
     return st, out
 
 

@@ -711,6 +711,37 @@ def run_register(
 # Misc utilities mirrored for API parity
 # --------------------------------------------------------------------------- #
 
+def align_clouds_global(src_global, tgt_global, valid, params: IcpParams):
+    """One global-frame P2P Gauss-Newton step -> [4,4] correction transform
+    (reference: AlignCloudsGlobal, registration.cpp:227-271 — dead code
+    there, mirrored for API completeness). Differences from the local
+    solver: J = [I | -skew(p_GLOBAL)], residuals in the global frame, and
+    the returned transform is a global left-correction, not a pose update.
+    """
+    dtype = src_global.dtype
+    r = tgt_global - src_global                                    # [K,3]
+    r2 = jnp.sum(r * r, axis=-1)
+    th = params.max_search_dist
+    w = th * th / (th + r2) ** 2                                   # cpp:246
+    w = jnp.where(valid & jnp.isfinite(w), w, 0.0)
+    S = lie.skew(src_global)                                       # [K,3,3]
+    # JTJ blocks for J = [I | -S]: [[sum w, -sum w S], [sum w S^T? ...]]
+    # expanded analytically like _accumulate_gn with M = w*I
+    wS = w[:, None, None] * S
+    tl = jnp.sum(w) * jnp.eye(3, dtype=dtype)
+    tr = -jnp.sum(wS, axis=0)
+    bl = tr.T                                                      # S^T = -S
+    br = -jnp.einsum("kij,kjl->il", S, wS, precision=_HI)
+    JTJ = jnp.block([[tl, tr], [bl, br]])
+    wr = w[:, None] * r
+    JTr = jnp.concatenate([
+        jnp.sum(wr, axis=0),
+        jnp.einsum("kij,kj->i", S, wr, precision=_HI),
+    ])
+    x, _ = _solve_step(JTJ, JTr, params.lm_lambda)
+    return _step_transform(x)
+
+
 def calculate_velocity(transform, dt):
     """Rigid transform over dt -> (linear, angular) velocity (reference:
     CalculateVelocity, registration.hpp:167-184)."""

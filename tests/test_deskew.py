@@ -177,3 +177,61 @@ class TestScanTimeNormalization:
         assert float(cur) == 500.0
         assert abs(float(end) - 500.1) < 1e-9
         np.testing.assert_allclose(np.asarray(rel), times, atol=1e-12)
+
+
+class TestRingHeadroom:
+    """The reference reserves 2000 IMU slots (pcm_matching.hpp:113) and
+    silently anchors its integration at whatever survives the deque prune
+    (pcm_matching.cpp:536-549). Pin that edge: a 400 Hz IMU with a delayed
+    scan deskews exactly when the ring holds the scan window, and the
+    roll-off case is OBSERVABLE via imu_covers_start instead of silent."""
+
+    def _rolling_ring(self, imu_t, imu_gyro, size):
+        """Feed samples through a fixed ring; keep the LAST `size`."""
+        if len(imu_t) <= size:
+            pad = size - len(imu_t)
+            t = np.concatenate([imu_t, np.zeros(pad)])
+            g = np.concatenate([imu_gyro, np.zeros((pad, 3))])
+            v = np.concatenate([np.ones(len(imu_t), bool), np.zeros(pad, bool)])
+            return t, g, v
+        return imu_t[-size:], imu_gyro[-size:], np.ones(size, bool)
+
+    def test_400hz_delayed_scan(self):
+        world = RNG.uniform(-15, 15, (256, 3))
+        t0, span = 500.0, 0.1
+        yaw_rate = 0.6
+        vel = np.array([4.0, 0.5, 0.0])
+        times, pts, _, ring = simulate_scan(world, t0, span, vel, yaw_rate)
+        # 400 Hz IMU stream that keeps arriving for 1 s AFTER the scan
+        # (processing delay) — 0.1 s window + 1.0 s tail = ~440 samples
+        imu_t = np.arange(t0 - 0.02, t0 + span + 1.0, 1.0 / 400.0)
+        imu_gyro = np.tile([0.0, 0.0, yaw_rate], (len(imu_t), 1))
+
+        # 512-slot ring: window retained, full-cover deskew, matches analytic
+        t_big, g_big, v_big = self._rolling_ring(imu_t, imu_gyro, 512)
+        info = deskew.make_deskew_info(
+            jnp.asarray(t_big), jnp.asarray(g_big), jnp.asarray(v_big),
+            *[jnp.asarray(a) for a in ring], jnp.ones(len(ring[0]), bool),
+            jnp.asarray(t0), jnp.asarray(t0 + span),
+        )
+        assert bool(info.imu_available) and bool(info.imu_covers_start)
+        out, ok = deskew.deskew_points(
+            jnp.asarray(pts), jnp.asarray(times), jnp.ones(256, bool), info
+        )
+        assert bool(ok)
+        expect = (world - (vel * span)) @ yaw_rot(yaw_rate * span)
+        err = np.linalg.norm(np.asarray(out) - expect, axis=1)
+        err_raw = np.linalg.norm(pts - expect, axis=1)
+        # same first-order deskew accuracy bound as the constant-twist test
+        assert err.mean() < err_raw.mean() / 3
+        assert err.max() < 0.15, err.max()
+
+        # 256-slot ring at 400 Hz: 1 s of tail evicted the scan window —
+        # the partial anchor must be FLAGGED, not silent
+        t_sm, g_sm, v_sm = self._rolling_ring(imu_t, imu_gyro, 256)
+        info_sm = deskew.make_deskew_info(
+            jnp.asarray(t_sm), jnp.asarray(g_sm), jnp.asarray(v_sm),
+            *[jnp.asarray(a) for a in ring], jnp.ones(len(ring[0]), bool),
+            jnp.asarray(t0), jnp.asarray(t0 + span),
+        )
+        assert not bool(info_sm.imu_covers_start)

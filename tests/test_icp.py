@@ -301,3 +301,63 @@ def test_radar_cov_gicp_matches_oracle():
     np.testing.assert_allclose(
         np.asarray(res.pose), pose_np, rtol=0, atol=5e-4)
     assert float(res.fitness) == pytest.approx(fit, abs=2e-3)
+
+
+class TestAlignCloudsGlobal:
+    """align_clouds_global mirrors the reference's (dead) global-frame
+    solver, registration.cpp:227-271: one GN step with J = [I | -skew(p)]
+    on GLOBAL points returning a global left-correction transform."""
+
+    def test_recovers_small_global_offset(self):
+        from elimaloc_tpu.config import PcmConfig
+        from elimaloc_tpu.register import align_clouds_global, make_icp_params
+
+        rng = np.random.default_rng(91)
+        tgt = rng.uniform(-10, 10, (2000, 3))
+        t_true = np.array([0.08, -0.05, 0.03])
+        src = tgt - t_true  # pure translation: one step solves it exactly-ish
+        params = make_icp_params(PcmConfig(), dtype=jnp.float64)
+        T = align_clouds_global(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(2000, bool), params
+        )
+        T = np.asarray(T)
+        moved = src @ T[:3, :3].T + T[:3, 3]
+        res0 = np.linalg.norm(tgt - src, axis=1).mean()
+        res1 = np.linalg.norm(tgt - moved, axis=1).mean()
+        # one LM-damped step (lm_lambda diag damping) moves most of the way
+        assert res1 < res0 / 2, (res0, res1)
+
+    def test_matches_numpy_transliteration(self):
+        from elimaloc_tpu.config import PcmConfig
+        from elimaloc_tpu.register import align_clouds_global, make_icp_params
+
+        rng = np.random.default_rng(92)
+        src = rng.uniform(-8, 8, (512, 3))
+        ang = 0.02
+        R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                      [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        tgt = src @ R.T + np.array([0.05, 0.02, -0.01])
+        cfg = PcmConfig()
+        params = make_icp_params(cfg, dtype=jnp.float64)
+        T = np.asarray(align_clouds_global(
+            jnp.asarray(src), jnp.asarray(tgt), jnp.ones(512, bool), params
+        ))
+
+        # direct transliteration of cpp:231-258
+        th = float(cfg.max_search_dist)
+        JTJ = np.zeros((6, 6)); JTr = np.zeros(6)
+        for s, t in zip(src, tgt):
+            r = t - s
+            w = th ** 2 / (th + r @ r) ** 2
+            S = np.array([[0, -s[2], s[1]], [s[2], 0, -s[0]],
+                          [-s[1], s[0], 0]])
+            J = np.hstack([np.eye(3), -S])
+            JTJ += J.T * w @ J
+            JTr += J.T * w @ r
+        reg = JTJ + float(cfg.lm_lambda) * np.diag(np.diag(JTJ))
+        x = np.linalg.solve(reg, JTr)
+        n = np.linalg.norm(x[3:])
+        K = np.array([[0, -x[5], x[4]], [x[5], 0, -x[3]], [-x[4], x[3], 0]]) / max(n, 1e-30)
+        R_np = np.eye(3) + np.sin(n) * K + (1 - np.cos(n)) * (K @ K)
+        np.testing.assert_allclose(T[:3, 3], x[:3], atol=1e-10)
+        np.testing.assert_allclose(T[:3, :3], R_np, atol=1e-10)
