@@ -145,6 +145,24 @@ def cmd_replay(args):
     )
     pipe = LocalizationPipeline(cfg, map_obj, **kw)
 
+    live = None
+    if getattr(args, "viz_live", None):
+        if args.fused:
+            raise SystemExit(
+                "--viz-live needs per-scan dispatch; drop --fused "
+                "(the whole-log fused program has no mid-run hook)"
+            )
+        from .utils.viz import LiveViz
+
+        live = LiveViz(
+            args.viz_live,
+            map_points=(map_obj.all_points()
+                        if isinstance(map_obj, BuiltMap) else map_obj),
+            truth_pos=log.truth_pos,
+        )
+        print(f"live view: open {args.viz_live} in a browser "
+              "(auto-refreshes during the run)")
+
     t0 = time.time()
     if args.fused:
         state, outs = pipe.run_fused(log)
@@ -155,8 +173,10 @@ def cmd_replay(args):
               f"({n / (time.time() - t0):.1f} scans/s)")
         print(f"applied: {np.asarray(outs['applied']).mean() * 100:.1f}%")
     else:
-        state, traj = pipe.run(log)
+        state, traj = pipe.run(log, on_scan=live.on_scan if live else None)
         t_arr, pos = traj["t"], traj["pos"]
+        if live is not None:
+            live.finish()
         if args.metrics:
             export_metrics_jsonl(args.metrics, traj["scans"])
         print(f"replay: {len(traj['scans'])} scans in {time.time() - t0:.2f}s")
@@ -224,6 +244,10 @@ def main(argv=None):
     p.add_argument("--metrics", default=None, help="write per-scan jsonl")
     p.add_argument("--viz", default=None,
                    help="write an interactive HTML replay view")
+    p.add_argument("--viz-live", default=None, metavar="HTML",
+                   help="LIVE HTML view updated during the run (open in a "
+                        "browser; auto-refreshes ~1 Hz; event-loop mode "
+                        "only)")
     p.add_argument("--site", default=None,
                    help="site preset (kcity/katri/pangyo/hanyang/stairs): "
                         "geodetic origin per the reference launch files")

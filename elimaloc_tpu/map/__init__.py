@@ -15,6 +15,7 @@ from .tiles import (  # noqa: F401
     TileMap,
     TileQueryBudget,
     build_tile_map,
+    load_tile_map,
 )
 from .grid import (  # noqa: F401
     MapGrid,

@@ -123,28 +123,49 @@ def _halo_membership(vox_xy, tile_voxels, tx0, ty0, tx_dim, ty_dim):
     return np.concatenate(rows), np.concatenate(idxs)
 
 
-def _pack_halo(rows, idxs, t, fills_payloads):
+def _pack_halo(rows, idxs, t, fills_payloads, out_path=None):
     """Scatter (tile_row, item) membership into padded [T+1, M, ...] blocks.
-    ``fills_payloads`` = [(fill_value_or_array, payload [K, ...]), ...]."""
+    ``fills_payloads`` = [(name, fill_value_or_array, payload [K, ...]),...].
+    With ``out_path`` the blocks are disk-backed ``np.memmap`` files
+    (<out_path>/<name>.npy) so city-scale packing never holds the dense
+    tensors in host RAM."""
     order = np.argsort(rows, kind="stable")
     sr = rows[order]
     rank = np.arange(len(order)) - np.searchsorted(sr, sr)
     m = int(np.bincount(sr, minlength=t).max()) if len(sr) else 1
     out = []
-    for fill, payload in fills_payloads:
+    for name, fill, payload in fills_payloads:
         shape = (t + 1, m) + payload.shape[1:]
-        if np.isscalar(fill):
-            block = np.full(shape, fill, payload.dtype)
+        if out_path is None:
+            block = np.empty(shape, payload.dtype)
         else:
-            block = np.tile(fill, (t + 1, m) + (1,) * fill.ndim).astype(
-                payload.dtype)
+            block = np.lib.format.open_memmap(
+                str(out_path / f"{name}.npy"), mode="w+",
+                dtype=payload.dtype, shape=shape,
+            )
+        block[...] = np.asarray(fill, payload.dtype)
         block[sr, rank] = payload[idxs[order]]
         out.append(block)
     return out
 
 
-def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
-    """Re-block a BuiltMap into per-tile halo candidate tensors (host side)."""
+def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
+                   storage_dir=None) -> "HostTileMap":
+    """Re-block a BuiltMap into per-tile halo candidate tensors (host side).
+
+    ``storage_dir``: back the packed tensors with ``np.memmap`` files there
+    instead of RAM — required for city-scale maps (a 20M-point map packs to
+    ~1.5-4 GB of halo tensors; the active-window pipeline only ever reads
+    the resident window's rows, so the host footprint stays at window size).
+    Reopen later with :func:`load_tile_map`.
+    """
+    import json
+    import pathlib
+
+    out_path = None
+    if storage_dir is not None:
+        out_path = pathlib.Path(storage_dir)
+        out_path.mkdir(parents=True, exist_ok=True)
     vs = built.voxel_size
     ts = vs * tile_voxels
     # numpy // floors for negative ints, matching floor(p / tile_size).
@@ -163,10 +184,13 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
     halo_vox_mean, halo_vox_cov, halo_vox_coord = _pack_halo(
         vrows, vidxs, t,
         [
-            (np.inf, built.vox_mean.astype(np.float32)),
-            (np.eye(3, dtype=np.float32), built.vox_cov.astype(np.float32)),
-            (_COORD_SENTINEL, built.vox_coords.astype(np.int32)),
+            ("halo_vox_mean", np.inf, built.vox_mean.astype(np.float32)),
+            ("halo_vox_cov", np.eye(3, dtype=np.float32),
+             built.vox_cov.astype(np.float32)),
+            ("halo_vox_coord", _COORD_SENTINEL,
+             built.vox_coords.astype(np.int32)),
         ],
+        out_path=out_path,
     )
 
     # --- point-level halo blocks (flatten voxel blocks, keep payloads) ---
@@ -176,17 +200,26 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
     prows, pidxs = _halo_membership(
         built.vox_coords[pt_vox][:, :2], tile_voxels, tx0, ty0,
         tx_dim, ty_dim)
-    payloads = [(np.inf, flat_pts)]
+    payloads = [("halo_points", np.inf, flat_pts)]
     if built.point_cov is not None:
         payloads += [
-            (np.eye(3, dtype=np.float32),
+            ("halo_point_cov", np.eye(3, dtype=np.float32),
              built.point_cov[pt_mask].astype(np.float32)),
-            (np.inf, built.point_cov_mean[pt_mask].astype(np.float32)),
+            ("halo_point_cov_mean", np.inf,
+             built.point_cov_mean[pt_mask].astype(np.float32)),
         ]
-    packed = _pack_halo(prows, pidxs, t, payloads)
+    packed = _pack_halo(prows, pidxs, t, payloads, out_path=out_path)
     halo_points = packed[0]
     halo_point_cov = packed[1] if built.point_cov is not None else None
     halo_point_cov_mean = packed[2] if built.point_cov is not None else None
+
+    if out_path is not None:
+        meta = dict(voxel_size=float(vs), tile_size=float(ts), tx0=tx0,
+                    ty0=ty0, tx_dim=tx_dim, ty_dim=ty_dim,
+                    has_point_cov=built.point_cov is not None)
+        (out_path / "meta.json").write_text(json.dumps(meta))
+        for b in packed + [halo_vox_mean, halo_vox_cov, halo_vox_coord]:
+            b.flush()
 
     return HostTileMap(
         halo_points=halo_points,
@@ -201,6 +234,32 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4) -> "HostTileMap":
         ty0=ty0,
         tx_dim=tx_dim,
         ty_dim=ty_dim,
+    )
+
+
+def load_tile_map(storage_dir, mmap: bool = True) -> "HostTileMap":
+    """Reopen a tile map persisted by ``build_tile_map(storage_dir=...)``.
+
+    With ``mmap`` (default) the halo tensors stay disk-backed and pages are
+    read on demand — the host RSS for active-window serving is bounded by
+    the window size, not the map size (the reference loads the whole PCD
+    into RAM, pcm_matching.cpp:69-79)."""
+    import json
+    import pathlib
+
+    p = pathlib.Path(storage_dir)
+    meta = json.loads((p / "meta.json").read_text())
+    mode = "r" if mmap else None
+    ld = lambda name: np.load(str(p / f"{name}.npy"), mmap_mode=mode)
+    has_cov = meta.pop("has_point_cov")
+    return HostTileMap(
+        halo_points=ld("halo_points"),
+        halo_point_cov=ld("halo_point_cov") if has_cov else None,
+        halo_point_cov_mean=ld("halo_point_cov_mean") if has_cov else None,
+        halo_vox_mean=ld("halo_vox_mean"),
+        halo_vox_cov=ld("halo_vox_cov"),
+        halo_vox_coord=ld("halo_vox_coord"),
+        **meta,
     )
 
 
@@ -237,6 +296,22 @@ class HostTileMap:
             ty_dim=self.ty_dim,
             origin=jnp.asarray(self.world_offset, dtype=dtype),
         )
+
+    def drop_page_cache(self):
+        """Release file-backed pages of memmapped halo tensors (crops copy
+        what they need; the touched pages would otherwise accumulate in RSS
+        for the life of the process). No-op for RAM-backed maps."""
+        import mmap as _mmap
+
+        for a in (self.halo_points, self.halo_point_cov,
+                  self.halo_point_cov_mean, self.halo_vox_mean,
+                  self.halo_vox_cov, self.halo_vox_coord):
+            mm = getattr(a, "_mmap", None)
+            if mm is not None:
+                try:
+                    mm.madvise(_mmap.MADV_DONTNEED)
+                except (AttributeError, OSError):
+                    return
 
     def window_anchor(self, center_xy, dims):
         """(x0, y0) tile anchor a crop_window at this center would use —

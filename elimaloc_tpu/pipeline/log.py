@@ -151,6 +151,45 @@ def synthesize_log(
     gyro_bias = np.asarray(gyro_bias)
     acc_bias = np.asarray(acc_bias)
 
+    # City-scale worlds (10-100M points): a brute-force per-scan distance
+    # pass over the whole world is O(scans x world). Bin the world into
+    # coarse 2D cells once and only distance-test the cells within range of
+    # each scan pose. Same range-gate semantics; the candidate ORDER differs
+    # from the brute-force path, so sampled logs differ per seed (fine — any
+    # generated log is self-consistent with its ground truth).
+    cell_index = None
+    if len(world) > 2_000_000:
+        cell = max(64.0, max_range / 2)
+        cx = np.floor(world[:, 0] / cell).astype(np.int64)
+        cy = np.floor(world[:, 1] / cell).astype(np.int64)
+        ckey = (cx - cx.min()) * (cy.max() - cy.min() + 2) + (cy - cy.min())
+        order = np.argsort(ckey, kind="stable")
+        skey = ckey[order]
+        ukeys, starts = np.unique(skey, return_index=True)
+        starts = np.append(starts, len(skey))
+        world_sorted = world[order]
+
+        def near_points(center_xy):
+            bx0 = int(np.floor((center_xy[0] - max_range) / cell)) - cx.min()
+            bx1 = int(np.floor((center_xy[0] + max_range) / cell)) - cx.min()
+            by0 = int(np.floor((center_xy[1] - max_range) / cell)) - cy.min()
+            by1 = int(np.floor((center_xy[1] + max_range) / cell)) - cy.min()
+            span_y = cy.max() - cy.min() + 2
+            chunks = []
+            for bx in range(bx0, bx1 + 1):
+                for by in range(by0, by1 + 1):
+                    k = bx * span_y + by
+                    i = np.searchsorted(ukeys, k)
+                    if i < len(ukeys) and ukeys[i] == k:
+                        chunks.append(world_sorted[starts[i]:starts[i + 1]])
+            if not chunks:
+                return np.empty((0, 3), world.dtype)
+            cand = np.concatenate(chunks)
+            d2 = np.sum((cand[:, :2] - center_xy) ** 2, axis=1)
+            return cand[d2 < max_range * max_range]
+
+        cell_index = near_points
+
     # IMU: body rates + specific force (tangential + centripetal + gravity)
     imu_t = t0 + np.arange(0.0, duration, 1.0 / imu_hz)
     _, yaw_i, vel_i, yr_i, ax_i = _traj(imu_t - t0, radius, speed, ramp)
@@ -172,8 +211,11 @@ def synthesize_log(
         t_abs = (st - t0) + (rel - span if scan_time_end else rel)
         # pose of each point's instant
         pos_p, yaw_p, _, _, _ = _traj(t_abs, radius, speed, ramp)
-        d2 = np.sum((world[:, :2] - pos_p.mean(0)[:2]) ** 2, axis=1)
-        near = world[d2 < max_range * max_range]
+        if cell_index is not None:
+            near = cell_index(pos_p.mean(0)[:2])
+        else:
+            d2 = np.sum((world[:, :2] - pos_p.mean(0)[:2]) ** 2, axis=1)
+            near = world[d2 < max_range * max_range]
         if len(near) < points_per_scan:
             continue
         sel = near[rng.integers(0, len(near), points_per_scan)]

@@ -565,7 +565,8 @@ class LocalizationPipeline:
                  ds_points: int = 8192, ego_ring_size: int = 1024,
                  imu_ring_size: int = 512, tile_voxels: int = 4,
                  use_native: bool = True,
-                 map_window_radius: Optional[float] = None):
+                 map_window_radius: Optional[float] = None,
+                 map_window_prefetch: bool = True):
         """``map_window_radius`` (meters, tile backend only) enables the
         active-window mode for maps too large for HBM: only the
         (2r+1)x(2r+1)-tile window around the vehicle is device-resident,
@@ -577,7 +578,14 @@ class LocalizationPipeline:
         self.cfg = cfg
         self.dtype = dtype
         method = cfg.pcm.icp_method
-        if isinstance(map_points, map_builder.BuiltMap):
+        prebuilt_tiles = None
+        if isinstance(map_points, map_tiles.HostTileMap):
+            # a packed (possibly disk-backed, map_tiles.load_tile_map) tile
+            # map: city-scale serving without rebuilding or loading the raw
+            # cloud; ground-height probes fall back to the resident window
+            prebuilt_tiles = map_points
+            self.built = None
+        elif isinstance(map_points, map_builder.BuiltMap):
             # prebuilt / checkpointed map (utils.checkpoint.load_built_map)
             self.built = map_points
         else:
@@ -593,9 +601,14 @@ class LocalizationPipeline:
         self.map_window_radius = map_window_radius
         self._host_tmap = None
         self._window_center = None
+        self._prefetch = None
+        self._window_prefetch = map_window_prefetch
+        self.window_stats = {"swaps": 0, "prefetch_hits": 0, "sync_swaps": 0}
+        if prebuilt_tiles is not None and backend != "tile":
+            raise ValueError("a HostTileMap input requires the tile backend")
         if backend == "tile":
-            host_tmap = map_tiles.build_tile_map(
-                self.built, tile_voxels=tile_voxels
+            host_tmap = prebuilt_tiles if prebuilt_tiles is not None else (
+                map_tiles.build_tile_map(self.built, tile_voxels=tile_voxels)
             )
             if map_window_radius is not None:
                 self._host_tmap = host_tmap
@@ -609,6 +622,7 @@ class LocalizationPipeline:
                 self._set_window(c0)
             else:
                 self.map = host_tmap.to_device(dtype=dtype)
+            self._tiles_host_full = host_tmap
         else:
             if map_window_radius is not None:
                 raise ValueError("map_window_radius requires the tile backend")
@@ -667,40 +681,155 @@ class LocalizationPipeline:
         n = 2 * self._window_tiles + 1
         return (min(n, h.tx_dim), min(n, h.ty_dim))
 
-    def _set_window(self, center_xy):
+    def _crop_and_upload(self, center_xy):
         host_win = self._host_tmap.crop_window(
             np.asarray(center_xy, float), self._window_tiles,
             dims=self._window_dims(),
             offset_dtype=np.dtype(self.dtype),
         )
-        self.map = host_win.to_device(dtype=self.dtype)
+        dev = host_win.to_device(dtype=self.dtype)
+        # disk-backed maps: the crop copied everything it needs — release
+        # the touched file pages so serving RSS stays window-bounded
+        self._host_tmap.drop_page_cache()
         ts = self._host_tmap.tile_size
-        self._window_offset_tiles = self._host_tmap.window_anchor(
+        center = np.array(host_win.world_offset) + 0.5 * np.array(
+            [host_win.tx_dim, host_win.ty_dim]) * ts
+        return dev, center
+
+    def _adopt_window(self, dev_map, center, anchor):
+        self.map = dev_map
+        self._window_center = center
+        self._window_offset_tiles = anchor
+
+    def _set_window(self, center_xy):
+        anchor = self._host_tmap.window_anchor(
             np.asarray(center_xy, float), self._window_dims()
         )
-        # actual window center in world coords (clamped at map edges)
-        self._window_center = np.array(host_win.world_offset) + 0.5 * np.array(
-            [host_win.tx_dim, host_win.ty_dim]) * ts
+        dev, center = self._crop_and_upload(center_xy)
+        self._adopt_window(dev, center, anchor)
 
-    def _maybe_rewindow(self, pos_xy):
-        """Re-crop before sensor-range correspondences can truncate at the
-        window edge (and never re-upload an identical window — a boundary-
-        clamped window cannot follow the pose, which would otherwise thrash
-        a full crop+upload every scan)."""
-        if self._host_tmap is None:
-            return
+    def _window_margin(self):
         ts = self._host_tmap.tile_size
         half = self._window_tiles * ts
         sensor = float(self.cfg.pcm.input_max_dist)
-        margin = max(half - sensor - 2.0 * ts, ts)
-        if np.max(np.abs(np.asarray(pos_xy) - self._window_center)) <= margin:
-            return
+        return max(half - sensor - 2.0 * ts, ts)
+
+    def _start_prefetch(self, pos_xy):
+        """Kick off crop + H2D of the window centered at the CURRENT pose in
+        a background thread (double buffering: the old window keeps serving
+        frames until the new one is resident)."""
+        import threading
+
         anchor = self._host_tmap.window_anchor(
             np.asarray(pos_xy, float), self._window_dims()
         )
+        pf = self._prefetch
         if anchor == self._window_offset_tiles:
-            return  # clamped at the map edge: same window, skip the upload
-        self._set_window(pos_xy)
+            return
+        if pf is not None:
+            if not pf["done"].is_set():
+                return  # let the in-flight crop finish (replacing it every
+                # tile crossing would mean no prefetch ever completes)
+            if pf["anchor"] == anchor:
+                return  # the finished one is already ideal
+        holder = {"anchor": anchor, "done": threading.Event()}
+        center_xy = np.asarray(pos_xy, float).copy()
+
+        def work():
+            try:
+                dev, center = self._crop_and_upload(center_xy)
+                # force the upload to finish inside the worker so adoption
+                # on the main thread is pointer-swap cheap
+                jax.block_until_ready(jax.tree_util.tree_leaves(dev))
+                holder["map"] = dev
+                holder["center"] = center
+            finally:
+                holder["done"].set()
+
+        self._prefetch = holder
+        threading.Thread(target=work, daemon=True).start()
+
+    def _maybe_rewindow(self, pos_xy, vel_xy=None):
+        """Re-crop before sensor-range correspondences can truncate at the
+        window edge (and never re-upload an identical window — a boundary-
+        clamped window cannot follow the pose, which would otherwise thrash
+        a full crop+upload every scan).
+
+        With ``map_window_prefetch`` (default) the next window's crop + H2D
+        runs in a background thread while frames keep flowing on the current
+        window (double buffering). The anchor-divergence ladder makes the
+        prefetch deterministic: when the ideal window anchor drifts ONE tile
+        from the resident one, that window is warmed in the background; only
+        at TWO tiles (one more tile of driving — ample time for the worker)
+        does the swap fire, and the warmed window is then always within one
+        tile of ideal, which the 2-tile slack inside ``_window_margin``
+        absorbs losslessly. The boundary hiccup becomes a pointer swap
+        instead of a synchronous crop+upload."""
+        del vel_xy  # pose alone drives the divergence ladder
+        if self._host_tmap is None:
+            return
+        pos = np.asarray(pos_xy, float)
+        ts = self._host_tmap.tile_size
+        margin = self._window_margin()
+        dist = np.max(np.abs(pos - self._window_center))
+        anchor = self._host_tmap.window_anchor(pos, self._window_dims())
+        div = max(abs(anchor[0] - self._window_offset_tiles[0]),
+                  abs(anchor[1] - self._window_offset_tiles[1]))
+        must_swap = dist > margin and div >= 2
+        if not must_swap:
+            # start early: a city-window crop+upload takes ~0.5-2 s (mmap
+            # page-in + H2D) and needs several frames of notice
+            if (
+                self._window_prefetch and div >= 1
+                and dist > max(margin - 6.0 * ts, 0.0)
+            ):
+                self._start_prefetch(pos)
+            return
+        pf = self._prefetch
+        # Adopt when the warmed window is close enough to the anchor a
+        # synchronous swap would pick that the sensor range still fits with
+        # a voxel to spare: each tile of staleness costs one tile of the
+        # window's (half - sensor) slack. Degenerate windows (smaller than
+        # the sensor range) keep a 1-tile tolerance — margin semantics are
+        # best-effort there anyway.
+        sensor = float(self.cfg.pcm.input_max_dist)
+        slack_tiles = max(
+            int((self._window_tiles * ts - sensor) / ts) - 1, 1
+        )
+        if (
+            pf is not None and pf["done"].is_set() and "map" in pf
+            and max(abs(pf["anchor"][0] - anchor[0]),
+                    abs(pf["anchor"][1] - anchor[1])) <= slack_tiles
+        ):
+            self._adopt_window(pf["map"], pf["center"], pf["anchor"])
+            self._prefetch = None
+            self.window_stats["prefetch_hits"] += 1
+        else:
+            self._set_window(pos)
+            self._prefetch = None
+            self.window_stats["sync_swaps"] += 1
+        self.window_stats["swaps"] += 1
+
+    def _ground_from_tiles(self, position_xy, search_range: float = 5.0):
+        """FindGroundHeight from the packed tile map (for pipelines built
+        from a HostTileMap, where the raw BuiltMap is not loaded): mean z of
+        the 5 lowest halo points of the query tile within range — the halo
+        spans the tile +- 1 voxel, covering the 5 m probe at default sizes."""
+        h = self._host_tmap if self._host_tmap is not None \
+            else self._tiles_host_full
+        ts = h.tile_size
+        tx = int(np.floor(position_xy[0] / ts)) - h.tx0
+        ty = int(np.floor(position_xy[1] / ts)) - h.ty0
+        if not (0 <= tx < h.tx_dim and 0 <= ty < h.ty_dim):
+            return False, 0.0
+        pts = np.asarray(h.halo_points[tx * h.ty_dim + ty])
+        pts = pts[np.isfinite(pts[:, 0])]
+        d2 = np.sum((pts[:, :2] - np.asarray(position_xy)) ** 2, axis=1)
+        within = pts[d2 <= search_range * search_range]
+        if within.shape[0] <= 3:
+            return False, 0.0
+        low = within[np.argsort(within[:, 2])[:5]]
+        return True, float(low[:, 2].mean())
 
     def _rebase(self, t):
         if self.time_base is None:
@@ -768,7 +897,11 @@ class LocalizationPipeline:
         """rviz-click flow: ground-height fix -> ICP from the clicked pose ->
         PCM_INIT hard reset into the EKF."""
         timestamp = float(self._rebase(timestamp))
-        found, ground_z = map_builder.find_ground_height(self.built, [x, y])
+        if self.built is not None:
+            found, ground_z = map_builder.find_ground_height(
+                self.built, [x, y])
+        else:
+            found, ground_z = self._ground_from_tiles([x, y])
         if not found:
             return state, False
         if self._host_tmap is not None:
@@ -796,8 +929,12 @@ class LocalizationPipeline:
 
     # ---- host event loop ----
     def run(self, log: ReplayLog, state: Optional[PipelineState] = None,
-            collect_every_imu: bool = False):
-        """Replay a log in event-time order. Returns (state, trajectory dict)."""
+            collect_every_imu: bool = False, on_scan=None):
+        """Replay a log in event-time order. Returns (state, trajectory dict).
+
+        ``on_scan(out)``: observer invoked after every scan with the scan
+        diagnostics plus ego_pos/ego_t — e.g. ``utils.viz.LiveViz.on_scan``
+        for a browser view that follows the run."""
         state = state if state is not None else self.reset()
         base_candidates = [log.imu_t[0], log.scan_t[0]]
         self._rebase(min(base_candidates))
@@ -854,7 +991,9 @@ class LocalizationPipeline:
                     traj_rpy.append(np.asarray(es["rpy"]))
             elif kind == "scan":
                 if self._host_tmap is not None:
-                    self._maybe_rewindow(np.asarray(state.ekf.pos)[:2])
+                    pv = np.asarray(jnp.concatenate(
+                        [state.ekf.pos[:2], state.ekf.vel[:2]]))
+                    self._maybe_rewindow(pv[:2], pv[2:])
                 state, out = self._scan_step(
                     state, jnp.asarray(scan_stamps[i], f),
                     jnp.asarray(log.scan_points[i], f),
@@ -869,6 +1008,9 @@ class LocalizationPipeline:
                 scan_log.append(
                     {k: np.asarray(v) for k, v in out.items()}
                 )
+                if on_scan is not None:
+                    on_scan({**scan_log[-1], "ego_pos": traj_pos[-1],
+                             "ego_t": traj_t[-1]})
             elif kind == "gps":
                 state = self._gps_step(
                     state, tv, jnp.asarray(log.gps_pos[i], f),
@@ -889,7 +1031,8 @@ class LocalizationPipeline:
 
     # ---- frame-batched streaming (the online serving mode) ----
     def run_frames(self, log: ReplayLog,
-                   state: Optional[PipelineState] = None, *, batches=None):
+                   state: Optional[PipelineState] = None, *, batches=None,
+                   on_scan=None):
         """Streaming replay at fused efficiency: ONE jitted call per scan
         frame (that frame's IMU/CAN/GPS sub-batch + the scan), host loop
         across frames. This is the online mode — per-event dispatch
@@ -909,11 +1052,17 @@ class LocalizationPipeline:
         n = len(log.scan_t)
         for k in range(n):
             if self._host_tmap is not None:
-                self._maybe_rewindow(np.asarray(state.ekf.pos)[:2])
+                pv = np.asarray(jnp.concatenate(
+                    [state.ekf.pos[:2], state.ekf.vel[:2]]))
+                self._maybe_rewindow(pv[:2], pv[2:])
             state, out = self._frame_at(
                 state, batches, jnp.asarray(k, jnp.int32), self.map
             )
             outs.append(out)
+            if on_scan is not None:
+                # observer sees device arrays; converting syncs — that is
+                # the observer's (throttled) choice, not the frame loop's
+                on_scan(out)
         # stack on device, read back once (each host sync costs a full
         # round-trip on a remote-attached accelerator)
         stacked_dev = jax.tree_util.tree_map(

@@ -17,7 +17,7 @@ import json
 import numpy as np
 
 _PAGE = """<!DOCTYPE html>
-<html><head><meta charset="utf-8"><title>elimaloc_tpu replay</title>
+<html><head><meta charset="utf-8"><title>elimaloc_tpu replay</title>{refresh}
 <style>
  body { margin:0; background:#14151a; color:#d8dae0;
         font:13px/1.4 system-ui, sans-serif; }
@@ -131,8 +131,11 @@ for (const [name, vals, color] of DATA.strips) strip(name, vals, color);
 
 
 def export_viz_html(path, est_pos, *, map_points=None, truth_pos=None,
-                    scans=None, cov=None, max_map_points: int = 60_000):
+                    scans=None, cov=None, max_map_points: int = 60_000,
+                    live_refresh_s: float | None = None):
     """Write a self-contained interactive HTML replay view.
+    ``live_refresh_s``: inject a meta-refresh so an open browser tab follows
+    a run that keeps re-exporting the file (see :class:`LiveViz`).
 
     Args:
       est_pos: [N,3] estimated trajectory.
@@ -181,7 +184,68 @@ def export_viz_html(path, est_pos, *, map_points=None, truth_pos=None,
             vals = series(key)
             if vals:
                 data["strips"].append([name, vals, color])
-    html = _PAGE.replace("__DATA__", json.dumps(data))
+    refresh = (
+        f'<meta http-equiv="refresh" content="{max(live_refresh_s, 0.2):g}">'
+        if live_refresh_s is not None else ""
+    )
+    html = _PAGE.replace("{refresh}", refresh)
+    html = html.replace("__DATA__", json.dumps(data))
     with open(path, "w") as fh:
         fh.write(html)
     return path
+
+
+class LiveViz:
+    """Watch a replay converge MID-RUN (the operator experience of the
+    reference's continuously-published rviz markers and plot topics,
+    ekf_localization.cpp:426-640): pass ``on_scan=LiveViz(...).on_scan`` to
+    ``LocalizationPipeline.run`` / ``run_frames`` and open the HTML in a
+    browser — it re-exports (throttled) after each scan and auto-refreshes.
+
+    Reading the per-scan pose back costs one device sync per scan; use for
+    interactive/monitored runs, not throughput benchmarks.
+    """
+
+    def __init__(self, path, *, map_points=None, truth_pos=None,
+                 refresh_s: float = 1.0, max_map_points: int = 60_000):
+        import time as _time
+
+        self.path = path
+        self.refresh_s = refresh_s
+        self._time = _time
+        self._last = 0.0
+        self._map = None
+        if map_points is not None:
+            mp = np.asarray(map_points, float)
+            if len(mp) > max_map_points:
+                idx = np.random.default_rng(0).choice(
+                    len(mp), max_map_points, replace=False)
+                mp = mp[idx]
+            self._map = mp
+        self._truth = truth_pos
+        self.positions = []
+        self.scans = []
+
+    def on_scan(self, out):
+        """Per-scan observer: ``out`` is the scan_step output dict plus
+        ego_pos/ego_t (device or host arrays)."""
+        self.positions.append(np.asarray(out["ego_pos"], float))
+        self.scans.append({
+            k: np.asarray(v) for k, v in out.items()
+            if k in ("fitness", "iterations", "overlap", "applied")
+        })
+        now = self._time.time()
+        if now - self._last >= self.refresh_s:
+            self._last = now
+            self._write(live=True)
+
+    def finish(self):
+        """Final (non-refreshing) export."""
+        self._write(live=False)
+
+    def _write(self, live: bool):
+        export_viz_html(
+            self.path, np.stack(self.positions),
+            map_points=self._map, truth_pos=self._truth, scans=self.scans,
+            live_refresh_s=self.refresh_s if live else None,
+        )

@@ -1,0 +1,171 @@
+"""City-scale evidence: a >=10M-point map through the full windowed stack.
+
+The active-window machinery (map/tiles.crop_window + runtime prefetch) was
+equivalence-tested on toy maps in round 2; this builds a 12M-point city map
+for real, packs it to DISK-BACKED tile tensors (build_tile_map storage_dir),
+reopens it with ``load_tile_map(mmap=True)``, and replays a multi-window
+drive:
+
+  * trajectory converges (applied 100%, ATE bounded),
+  * several window swaps occur and are served by the async prefetch,
+  * host RSS stays bounded by the WINDOW working set, not the map (the
+    reference loads the entire PCD into RAM at startup,
+    pcm_matching.cpp:69-79).
+
+The map build runs in a SUBPROCESS so its transient RSS (the voxel builder
+holds the raw cloud) cannot inflate this process's ru_maxrss high-water;
+the log is synthesized BEFORE the RSS baseline for the same reason.
+"""
+
+import resource
+import subprocess
+import sys
+
+
+def _vm_rss() -> int:
+    """Current resident set (bytes) — steady-state retention, unlike
+    ru_maxrss which is a high-water mark polluted by transient copies and
+    per-thread malloc arenas."""
+    for line in open("/proc/self/status"):
+        if line.startswith("VmRSS"):
+            return int(line.split()[1]) * 1024
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss * 1024
+
+import numpy as np
+import pytest
+
+N_POINTS = 12_000_000
+RADIUS = 300.0          # circle radius: the drive sweeps a ~600 m diameter
+SPEED = 12.0
+DURATION = 35.0
+
+_BUILD_SNIPPET = """
+import sys
+import numpy as np
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+from elimaloc_tpu.map.builder import build_voxel_map
+from elimaloc_tpu.map.tiles import build_tile_map
+
+sys.path.insert(0, {testdir!r})
+from test_city_scale import make_city
+
+out = {out!r}
+world = make_city()
+built = build_voxel_map(world, 1.0, 20, use_native=True)
+host = build_tile_map(built, tile_voxels=4, storage_dir=out)
+print("built", built.counts.sum(), host.tx_dim * host.ty_dim, flush=True)
+"""
+
+
+def make_city(n_points: int = N_POINTS) -> np.ndarray:
+    """Deterministic 12M-point city: dense ground + a 60 m wall grid."""
+    rng = np.random.default_rng(123)
+    n_w = n_points // 4
+    n_g = n_points - n_w
+    ext = 450.0
+    g = np.empty((n_g, 3), np.float32)
+    g[:, :2] = rng.uniform(-ext, ext, (n_g, 2))
+    g[:, 2] = rng.normal(0, 0.05, n_g)
+    w = np.empty((n_w, 3), np.float32)
+    half = n_w // 2
+    w[:half, 0] = rng.uniform(-ext, ext, half)
+    w[:half, 1] = (np.round(rng.uniform(-ext, ext, half) / 60.0) * 60.0
+                   + rng.normal(0, 0.05, half).astype(np.float32) + 30.0)
+    w[half:, 1] = rng.uniform(-ext, ext, n_w - half)
+    w[half:, 0] = (np.round(rng.uniform(-ext, ext, n_w - half) / 60.0) * 60.0
+                   + rng.normal(0, 0.05, n_w - half).astype(np.float32) + 30.0)
+    w[:, 2] = rng.uniform(0, 6, n_w)
+    return np.concatenate([g, w])
+
+
+@pytest.mark.slow
+def test_city_map_windowed_replay(tmp_path):
+    import pathlib
+
+    map_dir = tmp_path / "city_tiles"
+    code = _BUILD_SNIPPET.format(
+        repo="/root/repo",
+        testdir=str(pathlib.Path(__file__).parent),
+        out=str(map_dir),
+    )
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=1500)
+    total_bytes = sum(f.stat().st_size for f in map_dir.glob("*.npy"))
+    assert total_bytes > 500e6, "city map should pack to hundreds of MB"
+
+    import jax.numpy as jnp
+    from elimaloc_tpu.config import ElimalocConfig, IcpMethod
+    from elimaloc_tpu.map import TileQueryBudget, load_tile_map
+    from elimaloc_tpu.pipeline import (
+        LocalizationPipeline,
+        ate_rmse,
+        synthesize_log,
+    )
+
+    # synthesize the drive from the corridor of the (regenerated) world,
+    # then free it BEFORE the RSS baseline
+    world = make_city()
+    ring = np.abs(np.linalg.norm(world[:, :2], axis=1) - RADIUS) < 90.0
+    corridor = world[ring]
+    del world
+    log = synthesize_log(
+        corridor, duration=DURATION, points_per_scan=4096, max_range=60.0,
+        seed=17, radius=RADIUS, speed=SPEED,
+        imu_noise_gyro=0.001, imu_noise_acc=0.01,
+    )
+    del corridor
+
+    import gc
+
+    gc.collect()
+    rss0 = _vm_rss()
+
+    host = load_tile_map(map_dir, mmap=True)
+    assert isinstance(host.halo_points, np.memmap)
+
+    cfg = ElimalocConfig()
+    cfg.pcm.icp_method = IcpMethod.P2P
+    cfg.pcm.input_voxel_ds_m = 1.5
+    cfg.pcm.input_max_dist = 60.0
+    cfg.pcm.lidar_time_delay = 0.0
+    cfg.ekf.ekf_init_x_m = RADIUS
+    cfg.ekf.ekf_init_y_m = 0.0
+    cfg.ekf.ekf_init_yaw_deg = 90.0
+    cfg.calib.ego_to_lidar_trans = (0.0, 0.0, 0.0)
+    cfg.calib.ego_to_lidar_rot_deg = (0.0, 0.0, 0.0)
+
+    pipe = LocalizationPipeline(
+        cfg, host, dtype=jnp.float32, ds_points=4096,
+        tile_budget=TileQueryBudget(qb=32, max_slots=1024),
+        ego_ring_size=256, imu_ring_size=128,
+        map_window_radius=100.0,
+    )
+    state, outs = pipe.run_frames(log)
+
+    assert float(np.asarray(outs["applied"]).mean()) == 1.0
+    assert int(np.asarray(outs["slots_dropped"]).max()) == 0
+    ate = ate_rmse(np.asarray(outs["ego_t_abs"]), np.asarray(outs["ego_pos"]),
+                   log.truth_t, log.truth_pos)
+    assert ate < 0.2, f"city windowed ATE {ate}"
+
+    # the ~480 m arc must cross several windows, served by the prefetcher
+    stats = pipe.window_stats
+    assert stats["swaps"] >= 2, stats
+    assert stats["prefetch_hits"] >= stats["sync_swaps"], stats
+
+    # steady-state retention: window-bounded, NOT map-bounded. Measured
+    # split: mmap load +0, one window ~55 MB, XLA CPU compile + runtime
+    # ~320 MB (constant, map-size-independent), swap traffic bounded by
+    # crop_window copies + dropped page cache (HostTileMap.drop_page_cache).
+    # A RAM load of this map would retain total_bytes BEFORE any windows,
+    # compile, or copies (the reference holds the whole PCD,
+    # pcm_matching.cpp:69-79); serving it windowed must stay clearly under
+    # that floor even WITH all runtime overhead included.
+    gc.collect()
+    rss1 = _vm_rss()
+    assert rss1 - rss0 < 0.9 * total_bytes, (
+        f"host RSS grew {(rss1 - rss0) / 1e6:.0f} MB vs map "
+        f"{total_bytes / 1e6:.0f} MB — mmap windowing is not bounding memory"
+    )

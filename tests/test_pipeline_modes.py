@@ -157,10 +157,14 @@ def test_run_frames_matches_fused():
     np.testing.assert_array_equal(np.asarray(of["applied"]), osf["applied"])
 
 
-def test_windowed_map_replay_matches_full():
+@pytest.mark.parametrize("prefetch", ["off", "forced"])
+def test_windowed_map_replay_matches_full(prefetch):
     """Active-window mode (map_window_radius): the drive crosses window
     boundaries (several re-crops) and the trajectory must match the
-    full-map pipeline to sub-centimeter."""
+    full-map pipeline to sub-centimeter. The "forced" variant waits for the
+    async prefetch worker before every potential swap, so every boundary
+    crossing MUST be served by the double-buffered prefetched window and
+    still match the full map."""
     world = make_world(seed=9, extent=70.0, n_ground=60_000, n_wall=30_000)
     log = synthesize_log(
         world, duration=3.0, points_per_scan=1024, max_range=40.0,
@@ -180,14 +184,25 @@ def test_windowed_map_replay_matches_full():
     full = LocalizationPipeline(cfg, world, **kw)
     _, traj_full = full.run(log)
 
-    win = LocalizationPipeline(cfg, world, map_window_radius=48.0, **kw)
+    win = LocalizationPipeline(cfg, world, map_window_radius=48.0,
+                               map_window_prefetch=(prefetch == "forced"),
+                               **kw)
     assert win._host_tmap is not None
+    if prefetch == "forced":
+        orig_start = win._start_prefetch
+
+        def start_and_wait(pos_xy):
+            orig_start(pos_xy)
+            if win._prefetch is not None:
+                win._prefetch["done"].wait()
+
+        win._start_prefetch = start_and_wait
     centers = []
     orig = win._maybe_rewindow
 
-    def spy(pos_xy):
+    def spy(pos_xy, vel_xy=None):
         before = tuple(win._window_center)
-        orig(pos_xy)
+        orig(pos_xy, vel_xy)
         if tuple(win._window_center) != before:
             centers.append(tuple(win._window_center))
 
@@ -197,6 +212,10 @@ def test_windowed_map_replay_matches_full():
 
     err = np.linalg.norm(traj_full["pos"] - traj_win["pos"], axis=1)
     assert float(np.max(err)) < 0.01, f"windowed-vs-full max diff {err.max()}"
+    if prefetch == "forced":
+        assert win.window_stats["swaps"] >= 1
+        assert win.window_stats["sync_swaps"] == 0, win.window_stats
+        assert win.window_stats["prefetch_hits"] == win.window_stats["swaps"]
 
     import pytest as _pytest
     with _pytest.raises(ValueError):

@@ -138,7 +138,7 @@ def test_assignment_covers_all_queries_with_budget():
 
 class TestSlotStaleness:
     """The ICP inner loop hoists tile-slot assignment out of the GN
-    iterations (register/icp.py:_iteration_slots); the assignment stays valid
+    iterations (register/icp.py:_iteration_slots_flat); the assignment stays valid
     while the accumulated correction remains within ~(tile_size - voxel) of
     the initial guess. Drive ICP with an initial error that forces a long
     walk and check the tile backend tracks the hash backend (which reassigns

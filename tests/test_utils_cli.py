@@ -182,3 +182,28 @@ def test_cov_markers_rotation_proper_and_export(tmp_path):
     rows = [_json.loads(l) for l in open(path)]
     assert len(rows) == n and rows[0]["alpha"] == 0.5
     np.testing.assert_allclose(rows[3]["pos"], means[3], atol=1e-6)
+
+
+def test_live_viz_updates_midrun(tmp_path):
+    """LiveViz (the reference's continuous rviz stream analog): mid-run
+    exports carry the auto-refresh tag, the final export drops it."""
+    from elimaloc_tpu.utils.viz import LiveViz
+
+    path = tmp_path / "live.html"
+    lv = LiveViz(str(path), refresh_s=0.0)
+    for k in range(3):
+        lv.on_scan({
+            "ego_pos": np.array([float(k), 0.0, 0.0]),
+            "ego_t": float(k),
+            "fitness": 0.1 * k,
+            "iterations": k,
+            "overlap": 0.9,
+            "applied": True,
+        })
+    html = path.read_text()
+    assert 'http-equiv="refresh"' in html
+    assert html.count("[") > 2  # trajectory data present
+    lv.finish()
+    html = path.read_text()
+    assert 'http-equiv="refresh"' not in html
+    assert "ICP fitness" in html
