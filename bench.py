@@ -104,14 +104,16 @@ def build_everything():
 
     cfg = _cfg()
     ds_points, max_slots = autosize_budgets(
-        log, float(cfg.pcm.input_voxel_ds_m), 4.0 * cfg.pcm.pcm_voxel_size
+        log, float(cfg.pcm.input_voxel_ds_m), 4.0 * cfg.pcm.pcm_voxel_size,
+        qb=16,
     )
     pipe = LocalizationPipeline(
         cfg, world,
         ds_points=ds_points,
-        # qb=32 halo-block path: measured fastest at this scale
-        # (tools/profile_sweep.py)
-        tile_budget=TileQueryBudget(qb=32, max_slots=max_slots),
+        # qb=16 halo-block path: measured fastest at this scale with the
+        # flat slot-layout GN tails (A/B: 116.5 vs 100.8 scans/s at qb=32;
+        # tools/profile_sweep.py)
+        tile_budget=TileQueryBudget(qb=16, max_slots=max_slots),
         ego_ring_size=512, imu_ring_size=256,
     )
     return pipe, log
@@ -404,7 +406,7 @@ def bench_methods():
             cfg.ekf.use_can = True
         pipe = LocalizationPipeline(
             cfg, built, ds_points=4096,
-            tile_budget=TileQueryBudget(qb=32, max_slots=768),
+            tile_budget=TileQueryBudget(qb=16, max_slots=1024),
             ego_ring_size=512, imu_ring_size=256,
         )
         state, outs = pipe.run_fused(log)

@@ -156,7 +156,15 @@ def odom_deskew_info(ring_time, ring_pos, ring_rpy, ring_vel_local,
 
 def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
                      ring_rpy, ring_vel_local, ring_gyro, ring_valid,
-                     scan_cur, scan_end) -> DeskewInfo:
+                     scan_cur, scan_end,
+                     window_budget: int = 64) -> DeskewInfo:
+    """``window_budget``: the per-point interpolation (one-hot [N, W]
+    matmuls in _find_rotation_batch) pays for the full ring width, but only
+    the samples inside the scan window matter and the ring is chronological
+    — so the window is COMPACTED to a contiguous W-slice first (measured
+    ~1.6 ms/frame saved at a 256-slot ring and 26k points). 64 covers a
+    0.11 s sweep at up to ~580 Hz IMU; an overflowing window clamps its
+    tail and clears ``imu_covers_start``."""
     rot, inc, first, last, imu_ok = imu_deskew_info(
         imu_time, imu_gyro, imu_valid, scan_cur, scan_end
     )
@@ -164,13 +172,18 @@ def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
         ring_time, ring_pos, ring_rpy, ring_vel_local, ring_gyro, ring_valid,
         scan_cur, scan_end,
     )
-    covers = imu_ok & (imu_time[first] <= scan_cur + 0.01)
+    m = imu_time.shape[0]
+    w = min(int(window_budget), m)
+    start = jnp.clip(first, 0, m - w)
+    truncated = (last - start) > (w - 1)
+    covers = imu_ok & (imu_time[first] <= scan_cur + 0.01) & ~truncated
+    sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, w, axis=0)
     return DeskewInfo(
-        imu_time=imu_time,
-        imu_rot=rot,
-        imu_included=inc,
-        first_idx=first,
-        last_idx=last,
+        imu_time=sl(imu_time),
+        imu_rot=sl(rot),
+        imu_included=sl(inc),
+        first_idx=first - start,
+        last_idx=jnp.clip(last - start, 0, w - 1),
         odom_incre=incre,
         scan_cur=scan_cur,
         scan_end=scan_end,
