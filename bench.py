@@ -134,9 +134,9 @@ def bench_tpu(pipe, log):
     host_prep = time.time() - t0
     _, outs = pipe._fused(state, batches, pipe.map)  # compile + run
     float(jnp.sum(outs["ego_pos"]))
-    # best-of-2: the shared relay/host shows 1.5-2x run-to-run variance
+    # best-of-3: the shared relay/host shows 1.5-2x run-to-run variance
     dt = np.inf
-    for _ in range(2):
+    for _ in range(3):
         state2 = pipe.reset()
         pipe.time_base = tb
         t0 = time.time()
