@@ -215,10 +215,14 @@ def _find_rotation_batch(info: DeskewInfo, point_times):
     oh_f = (iota == front[:, None]).astype(info.imu_rot.dtype)   # [N,M]
     oh_b = (iota == back[:, None]).astype(info.imu_rot.dtype)
     hi = jax.lax.Precision.HIGHEST
-    t_f = jnp.matmul(oh_f, info.imu_time, precision=hi)
-    t_b = jnp.matmul(oh_b, info.imu_time, precision=hi)
-    rot_f = jnp.matmul(oh_f, info.imu_rot, precision=hi)         # [N,3]
-    rot_b = jnp.matmul(oh_b, info.imu_rot, precision=hi)
+    # One [M,4] payload (time | rot) per one-hot: each output column is the
+    # same exact dot product as a separate matmul, but the [N,M] one-hot is
+    # streamed from HBM once instead of twice.
+    payload = jnp.concatenate([info.imu_time[:, None], info.imu_rot], axis=1)
+    sel_f = jnp.matmul(oh_f, payload, precision=hi)              # [N,4]
+    sel_b = jnp.matmul(oh_b, payload, precision=hi)
+    t_f, rot_f = sel_f[:, 0], sel_f[:, 1:4]
+    t_b, rot_b = sel_b[:, 0], sel_b[:, 1:4]
 
     beyond = point_times > t_f
     at_first = front == info.first_idx

@@ -93,6 +93,11 @@ class TileQueryBudget:
 
     qb: int = 32           # queries per slot
     max_slots: int = 2560  # >= N/qb + (#occupied query tiles)
+    # Slots vmapped per lax.map step of the correspondence pass. Small chunks
+    # serialize S/chunk ~2 us micro-fusions (the round-3 profiler trace showed
+    # 286 sequential steps per pass at chunk=8); large chunks grow the live
+    # [chunk, QB, MHP] candidate tensors. Swept on v5e: 88 ~ 286 > 8 > 2288.
+    chunk: int = 88
 
     def for_queries(self, n: int):
         return self
@@ -508,9 +513,14 @@ def _cube_mask(qvox, cvox):
 
 
 def _chunked(fn, xs_tree, chunk: int):
-    """scan(vmap(fn)) over the leading axis in chunks (bounded memory)."""
+    """scan(vmap(fn)) over the leading axis in chunks (bounded memory).
+
+    ``chunk`` is a request: the effective chunk is the largest divisor of the
+    slot count not exceeding it, so any max_slots that is a multiple of 8
+    works with any requested chunk (no padding, no wasted slots)."""
     leaves = jax.tree_util.tree_leaves(xs_tree)
     s = leaves[0].shape[0]
+    chunk = max(d for d in range(1, min(chunk, s) + 1) if s % d == 0)
     assert s % chunk == 0, (s, chunk)
     resh = jax.tree_util.tree_map(
         lambda x: x.reshape((s // chunk, chunk) + x.shape[1:]), xs_tree
@@ -539,7 +549,7 @@ def _scatter_back(n, qidx, *fields):
 
 def nearest_point_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask, max_dist,
                         budget: TileQueryBudget, *, with_point_cov: bool = False,
-                        chunk: int = 8):
+                        chunk: int | None = None):
     """Slot-layout core of :func:`query_nearest_point`: correspondence for
     pre-assigned per-tile query blocks, no scatter back to query order. Used
     directly by the ICP inner loop, where slot assignment is hoisted out of
@@ -593,12 +603,12 @@ def nearest_point_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask, max_dist,
 
     centers = _slot_centers(tmap, slot_tile, qbuf.dtype)
     xs = (qbuf, qvox, qmask, slot_tile, centers)
-    return _chunked(per_slot, xs, chunk)
+    return _chunked(per_slot, xs, budget.chunk if chunk is None else chunk)
 
 
 def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
                         budget: TileQueryBudget, *, with_point_cov: bool = False,
-                        chunk: int = 8):
+                        chunk: int | None = None):
     """Nearest map point within the exact 27-voxel cube of each query
     (hash-grid/GetCorrespondencePoints semantics). Returns
     (target [N,3], valid [N]) plus (cov [N,3,3], cov_mean [N,3]) when
@@ -624,7 +634,7 @@ def query_nearest_point(tmap: TileMap, queries, valid, max_dist,
 
 
 def nearest_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
-                            max_dist, budget: TileQueryBudget, chunk: int = 8):
+                            max_dist, budget: TileQueryBudget, chunk: int | None = None):
     """Slot-layout core of :func:`query_nearest_voxel_cov` (see
     :func:`nearest_point_slots` for why). Returns
     (cov [S,QB,3,3], mean [S,QB,3], ok [S,QB])."""
@@ -663,11 +673,12 @@ def nearest_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
         )
 
     centers = _slot_centers(tmap, slot_tile, qbuf.dtype)
-    return _chunked(per_slot, (qbuf, qvox, qmask, slot_tile, centers), chunk)
+    return _chunked(per_slot, (qbuf, qvox, qmask, slot_tile, centers),
+                    budget.chunk if chunk is None else chunk)
 
 
 def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
-                            budget: TileQueryBudget, chunk: int = 8):
+                            budget: TileQueryBudget, chunk: int | None = None):
     """VGICP: covariance of the 27-neighborhood voxel whose mean is closest.
     Returns (cov [N,3,3], mean [N,3], valid [N])."""
     n = queries.shape[0]
@@ -688,7 +699,7 @@ def query_nearest_voxel_cov(tmap: TileMap, queries, valid, max_dist,
 
 
 def all_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
-                        max_dist, budget: TileQueryBudget, chunk: int = 8):
+                        max_dist, budget: TileQueryBudget, chunk: int | None = None):
     """Slot-layout core of :func:`query_all_voxel_cov` (see
     :func:`nearest_point_slots` for why). Returns
     (cov [S,QB,7,3,3], mean [S,QB,7,3], ok [S,QB,7])."""
@@ -723,11 +734,12 @@ def all_voxel_cov_slots(tmap: TileMap, slot_tile, qbuf, qvox, qmask,
             ok,
         )
 
-    return _chunked(per_slot, (qbuf, qvox, qmask, slot_tile), chunk)
+    return _chunked(per_slot, (qbuf, qvox, qmask, slot_tile),
+                    budget.chunk if chunk is None else chunk)
 
 
 def query_all_voxel_cov(tmap: TileMap, queries, valid, max_dist,
-                        budget: TileQueryBudget, chunk: int = 8):
+                        budget: TileQueryBudget, chunk: int | None = None):
     """AVGICP: the 7 face-adjacent voxels' covariances where they exist and
     their means pass the distance gate (GetCorrespondencesAllCov semantics).
     Returns (cov [N,7,3,3], mean [N,7,3], valid [N,7])."""

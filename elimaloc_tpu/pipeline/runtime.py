@@ -101,6 +101,13 @@ class PipelineStatic:
     use_pcm: bool = True
     use_imu: bool = True
     tick_hz: float = 100.0  # CA-prediction rate when use_imu is off
+    # lax.scan unroll for the per-frame IMU/CAN/GPS sub-batches. Each EKF
+    # sub-step is ~100 us of launch-bound micro-kernels on a v5e (the IMU
+    # sub-loop alone is ~2 ms/frame in the round-3 trace); unrolling lets XLA
+    # fuse across consecutive steps' non-dependent pieces. Swept on v5e:
+    # 1 -> 164.9, 2 -> 172.1, 4 -> 173.1, 8 -> 173.2 scans/s (bitwise-equal
+    # trajectories); 4 keeps the compiled body small.
+    sub_unroll: int = 4
 
 
 def make_pipeline_params(cfg: ElimalocConfig, dtype=jnp.float32) -> PipelineParams:
@@ -398,6 +405,7 @@ def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
     st = jax.lax.scan(
         imu_body, st,
         (b["imu_t"], b["imu_acc"], b["imu_gyro"], b["imu_valid"]),
+        unroll=ps.sub_unroll,
     )[0]
 
     if ps.use_can:
@@ -409,6 +417,7 @@ def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
         st = jax.lax.scan(
             can_body, st,
             (b["can_t"], b["can_vel"], b["can_yaw"], b["can_valid"]),
+            unroll=ps.sub_unroll,
         )[0]
 
     if ps.use_gps:
@@ -420,6 +429,7 @@ def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
         st = jax.lax.scan(
             gps_body, st,
             (b["gps_t"], b["gps_pos"], b["gps_cov"], b["gps_valid"]),
+            unroll=ps.sub_unroll,
         )[0]
 
     st, out = scan_step(
