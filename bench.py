@@ -441,9 +441,41 @@ def bench_methods():
     return out
 
 
+def bench_fleet(pipe, log, lanes=8):
+    """Multi-stream serving throughput: ``lanes`` independent replay lanes
+    vmapped on the one chip (run_fused_fleet). Fleet-vs-single lane parity
+    is pinned by tests/test_pipeline_modes.py; this measures total scans/s.
+    Lanes replay the same log tensor (identical-lane timing is valid — the
+    TPU does not dedupe lanes) so the extra H2D over the relay stays small.
+    """
+    from elimaloc_tpu.parallel import replay_fused_fleet, stack_streams
+    from elimaloc_tpu.pipeline.runtime import build_fused_batches
+
+    state = pipe.reset()
+    pipe._rebase(min(log.imu_t[0], log.scan_t[0]))
+    batches = build_fused_batches(log, time_base=pipe.time_base)
+    bcast = lambda t: jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (lanes,) + x.shape), t)
+    st_b = jax.device_put(bcast(state))
+    bt_b = jax.device_put(bcast(batches))
+    _, outs = replay_fused_fleet(st_b, bt_b, pipe.map, pipe.params,
+                                 pipe.static)
+    float(jnp.sum(outs["ego_pos"]))
+    n = len(log.scan_t)
+    dt = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        _, outs = replay_fused_fleet(st_b, bt_b, pipe.map, pipe.params,
+                                     pipe.static)
+        float(jnp.sum(outs["ego_pos"]))
+        dt = min(dt, max(time.time() - t0 - RTT, 1e-9))
+    return lanes * n / dt
+
+
 def main():
     pipe, log = build_everything()
     r = bench_tpu(pipe, log)
+    fleet_sps = bench_fleet(pipe, log)
     lat_p50, lat_p95 = bench_latency(pipe, log)
     stream_sps = bench_streaming(pipe, log)
     icp_sps = bench_icp_batched(pipe, log)
@@ -469,6 +501,15 @@ def main():
                 ),
                 "cpu_numpy_scans_per_s": round(cpu_numpy_sps, 3),
                 "streaming_scans_per_s": round(stream_sps, 2),
+                # serving mode: 8 vmapped lanes on this one chip; the dp
+                # projection is lanes x chips with ZERO cross-chip
+                # communication (replay_fused_dp partitions the identical
+                # per-lane program; validated on the virtual 8-device mesh
+                # by dryrun_multichip) — a projection, not a measurement,
+                # labeled as such because only one physical chip is attached
+                "fleet8_scans_per_s": round(fleet_sps, 2),
+                "fleet8_vs_baseline": round(fleet_sps / baseline, 2),
+                "projected_v5e8_dp_scans_per_s": round(8 * fleet_sps, 2),
                 "latency_p50_ms": round(lat_p50, 2),
                 "latency_p95_ms": round(lat_p95, 2),
                 "icp_batched_scans_per_s": round(icp_sps, 2),

@@ -5,6 +5,8 @@ from .sharding import (  # noqa: F401
     register_sharded,
     replay_fused_2d,
     replay_fused_dp,
+    replay_fused_fleet,
     replay_fused_sp,
     replicate,
+    stack_streams,
 )

@@ -1099,3 +1099,64 @@ class LocalizationPipeline:
         state, outs = self._fused(state, batches, self.map)
         outs["ego_t_abs"] = np.asarray(outs["ego_t"], np.float64) + self.time_base
         return state, outs
+
+    def run_fused_fleet(self, logs, states=None):
+        """Multi-stream fused replay: ``B`` independent logs localized
+        against the shared map in ONE vmapped program (the single-chip
+        serving/fleet mode — see :func:`~elimaloc_tpu.parallel.sharding.
+        replay_fused_fleet`; on a mesh the same lanes shard with
+        ``replay_fused_dp``). The reference runs one vehicle per process
+        pair (SURVEY.md §2 C12); lanes here amortize the fixed per-frame
+        dispatch overhead of the tiny per-vehicle tensors.
+
+        Logs must share a scan count (frame axis); per-frame sub-batch
+        capacities are padded to the fleet max (pad rows carry
+        ``valid=False``, which every consumer masks). Returns
+        ``(states, outs)`` with a leading lane axis on every field;
+        per-lane trajectories are identical to :meth:`run_fused` runs.
+        """
+        from ..parallel import replay_fused_fleet, stack_streams
+
+        if self._host_tmap is not None:
+            raise ValueError(
+                "fleet replay compiles the whole log batch into one program "
+                "and cannot swap map windows; use run()/run_frames() per "
+                "stream with map_window_radius"
+            )
+        ns = {len(log.scan_t) for log in logs}
+        if len(ns) != 1:
+            raise ValueError(
+                f"fleet logs must share a scan count, got {sorted(ns)}"
+            )
+        if states is None:
+            states = [self.reset() for _ in logs]
+        bases, batch_list = [], []
+        for log in logs:
+            tb = float(np.floor(min(log.imu_t[0], log.scan_t[0])))
+            bases.append(tb)
+            batch_list.append(build_fused_batches(log, time_base=tb))
+        keys = set(batch_list[0])
+        if any(set(b) != keys for b in batch_list[1:]):
+            raise ValueError("fleet logs must share sensor streams (can/gps)")
+        # pad per-frame capacity axes to the fleet max; pad rows are
+        # valid=False (np.zeros) so the masked consumers ignore them
+        for k in keys:
+            shapes = [b[k].shape for b in batch_list]
+            mx = tuple(max(s[d] for s in shapes)
+                       for d in range(len(shapes[0])))
+            for b in batch_list:
+                if b[k].shape != mx:
+                    a = np.asarray(b[k])
+                    pad = [(0, m - s) for s, m in zip(a.shape, mx)]
+                    b[k] = jnp.asarray(np.pad(a, pad))
+        states_b = stack_streams(states)
+        batches_b = stack_streams(batch_list)
+        states_b, outs = replay_fused_fleet(
+            states_b, batches_b, self.map, self.params, self.static
+        )
+        outs["ego_t_abs"] = (
+            np.asarray(outs["ego_t"], np.float64)
+            + np.asarray(bases)[:, None]
+        )
+        self.time_base = None  # per-lane bases; the host clock is lane-local
+        return states_b, outs

@@ -220,3 +220,28 @@ def test_windowed_map_replay_matches_full(prefetch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         win.run_fused(log)
+
+
+def test_fleet_lanes_match_single_stream():
+    """run_fused_fleet = vmapped lanes of run_fused: each lane's trajectory
+    must match its own single-stream replay (different logs per lane, with
+    different per-frame sub-batch capacities to exercise the fleet padding).
+    """
+    pipe, log_a = tiny_pipe(duration=2.0)
+    world = make_world(seed=9, extent=70.0, n_ground=60_000, n_wall=30_000)
+    log_b = synthesize_log(
+        world, duration=2.0, points_per_scan=1024, max_range=50.0, seed=77,
+    )
+    _, oa = pipe.run_fused(log_a)
+    _, ob = pipe.run_fused(log_b)
+    _, fleet = pipe.run_fused_fleet([log_a, log_b])
+    pos = np.asarray(fleet["ego_pos"])
+    np.testing.assert_allclose(pos[0], np.asarray(oa["ego_pos"]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(pos[1], np.asarray(ob["ego_pos"]),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(fleet["applied"])[0], np.asarray(oa["applied"]))
+    np.testing.assert_array_equal(
+        np.asarray(fleet["applied"])[1], np.asarray(ob["applied"]))
+    assert fleet["ego_t_abs"].shape == pos.shape[:2]
