@@ -203,6 +203,26 @@ def cmd_replay(args):
         print(f"wrote {args.traj}")
 
 
+def cmd_bag_import(args):
+    from .pipeline.rosbag import bag_to_replay_log
+
+    origin = None
+    if args.ref_lat is not None:
+        origin = (args.ref_lat, args.ref_lon, args.ref_hgt)
+    log = bag_to_replay_log(
+        args.bag, args.scan_topic, args.imu_topic,
+        gps_topic=args.gps_topic, can_topic=args.can_topic,
+        lidar_type=args.lidar_type, index_sampling=args.index_sampling,
+        ref_origin=origin, projection_mode=args.projection_mode,
+    )
+    log.save(args.out)
+    extras = [s for s, on in (("gps", log.gps_t is not None),
+                              ("can", log.can_t is not None)) if on]
+    print(f"wrote {args.out}: {len(log.scan_t)} scans, "
+          f"{len(log.imu_t)} imu samples"
+          + (f", +{'/'.join(extras)}" if extras else ""))
+
+
 def cmd_bench(args):
     import bench
 
@@ -212,6 +232,28 @@ def cmd_bench(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="elimaloc_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser(
+        "bag-import",
+        help="convert a reference-style rosbag to the .npz replay log",
+    )
+    p.add_argument("--bag", required=True)
+    p.add_argument("--out", default="drive.npz")
+    p.add_argument("--scan-topic", required=True)
+    p.add_argument("--imu-topic", required=True)
+    p.add_argument("--gps-topic", default=None)
+    p.add_argument("--can-topic", default=None)
+    p.add_argument("--lidar-type", default="velodyne",
+                   help='"ouster" applies --index-sampling (reference '
+                        "pcm_matching.cpp:218-224)")
+    p.add_argument("--index-sampling", type=int, default=1)
+    p.add_argument("--ref-lat", type=float, default=None,
+                   help="geodetic origin (default: first GPS fix)")
+    p.add_argument("--ref-lon", type=float, default=None)
+    p.add_argument("--ref-hgt", type=float, default=0.0)
+    p.add_argument("--projection-mode", default="Cartesian",
+                   choices=["Cartesian", "UTM"])
+    p.set_defaults(fn=cmd_bag_import)
 
     p = sub.add_parser("synth", help="generate a synthetic world + drive log")
     p.add_argument("--out", default="drive.npz")

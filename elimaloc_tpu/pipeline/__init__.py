@@ -7,6 +7,7 @@ from .pointcloud import (  # noqa: F401
     ouster_to_xyzit,
     velodyne_to_xyzit,
 )
+from .rosbag import bag_to_replay_log, read_bag  # noqa: F401
 from .rings import (  # noqa: F401
     EgoRing,
     ImuRing,

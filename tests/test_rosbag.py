@@ -1,0 +1,249 @@
+"""rosbag ingest: record/chunk framing, message deserializers, ReplayLog
+assembly — round-tripped against a minimal in-test bag writer (the
+environment has no ROS; the writer below emits the documented v2.0 wire
+format, http://wiki.ros.org/Bags/Format/2.0)."""
+
+import bz2
+import struct
+
+import numpy as np
+import pytest
+
+from elimaloc_tpu.ops import geo
+from elimaloc_tpu.pipeline import make_world, synthesize_log
+from elimaloc_tpu.pipeline.pointcloud import (
+    FLOAT32, UINT16, VELODYNE_POINT_STEP,
+)
+from elimaloc_tpu.pipeline.rosbag import bag_to_replay_log, read_bag
+
+
+# --------------------------------------------------------------------------- #
+# minimal bag writer
+# --------------------------------------------------------------------------- #
+
+def _fields(**kv) -> bytes:
+    out = b""
+    for name, value in kv.items():
+        f = name.encode() + b"=" + value
+        out += struct.pack("<I", len(f)) + f
+    return out
+
+
+def _record(header: bytes, data: bytes) -> bytes:
+    return (struct.pack("<I", len(header)) + header
+            + struct.pack("<I", len(data)) + data)
+
+
+def _time(t: float) -> bytes:
+    secs = int(t)
+    return struct.pack("<II", secs, int(round((t - secs) * 1e9)))
+
+
+def _connection(cid: int, topic: str, mtype: str) -> bytes:
+    hdr = _fields(op=b"\x07", conn=struct.pack("<I", cid),
+                  topic=topic.encode())
+    data = _fields(topic=topic.encode(), type=mtype.encode(),
+                   md5sum=b"0" * 32, message_definition=b"")
+    return _record(hdr, data)
+
+
+def _message(cid: int, t: float, raw: bytes) -> bytes:
+    hdr = _fields(op=b"\x02", conn=struct.pack("<I", cid), time=_time(t))
+    return _record(hdr, raw)
+
+
+def _chunk(inner: bytes, compression: str = "none") -> bytes:
+    data = bz2.compress(inner) if compression == "bz2" else inner
+    hdr = _fields(op=b"\x05", compression=compression.encode(),
+                  size=struct.pack("<I", len(inner)))
+    return _record(hdr, data)
+
+
+def _bag(chunks, top_level=b"") -> bytes:
+    banner = b"#ROSBAG V2.0\n"
+    baghdr = _record(
+        _fields(op=b"\x03", index_pos=struct.pack("<Q", 0),
+                conn_count=struct.pack("<I", 0),
+                chunk_count=struct.pack("<I", len(chunks))),
+        b" " * 64,
+    )
+    return banner + baghdr + top_level + b"".join(chunks)
+
+
+# message encoders ---------------------------------------------------------- #
+
+def _header(t: float, frame: str = "f") -> bytes:
+    fb = frame.encode()
+    return (struct.pack("<I", 0) + _time(t)
+            + struct.pack("<I", len(fb)) + fb)
+
+
+def _enc_imu(t, quat_xyzw, gyro, acc) -> bytes:
+    return (_header(t)
+            + struct.pack("<4d", *quat_xyzw) + struct.pack("<9d", *([0.0] * 9))
+            + struct.pack("<3d", *gyro) + struct.pack("<9d", *([0.0] * 9))
+            + struct.pack("<3d", *acc) + struct.pack("<9d", *([0.0] * 9)))
+
+
+def _enc_navsatfix(t, lat, lon, alt, cov_diag) -> bytes:
+    cov = np.zeros((3, 3))
+    np.fill_diagonal(cov, cov_diag)
+    return (_header(t) + struct.pack("<bH", 0, 1)
+            + struct.pack("<3d", lat, lon, alt)
+            + struct.pack("<9d", *cov.ravel()) + struct.pack("<B", 2))
+
+
+def _enc_twist_stamped(t, vx, wz) -> bytes:
+    return (_header(t) + struct.pack("<3d", vx, 0.0, 0.0)
+            + struct.pack("<3d", 0.0, 0.0, wz))
+
+
+def _enc_pointcloud2(t, xyz, times) -> bytes:
+    """Velodyne driver layout (pointcloud.VELODYNE_FIELDS)."""
+    n = len(xyz)
+    rec = np.zeros(n, np.dtype({
+        "names": ["x", "y", "z", "intensity", "ring", "time"],
+        "offsets": [0, 4, 8, 12, 16, 18],
+        "formats": [np.float32] * 4 + [np.uint16, np.float32],
+        "itemsize": VELODYNE_POINT_STEP,
+    }))
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rec["time"] = times
+    data = rec.tobytes()
+    fields = [("x", 0, FLOAT32), ("y", 4, FLOAT32), ("z", 8, FLOAT32),
+              ("intensity", 12, FLOAT32), ("ring", 16, UINT16),
+              ("time", 18, FLOAT32)]
+    out = _header(t, "lidar") + struct.pack("<II", 1, n)
+    out += struct.pack("<I", len(fields))
+    for name, off, dt in fields:
+        nb = name.encode()
+        out += (struct.pack("<I", len(nb)) + nb
+                + struct.pack("<IBI", off, dt, 1))
+    out += struct.pack("<B", 0)                      # is_bigendian
+    out += struct.pack("<II", VELODYNE_POINT_STEP,
+                       VELODYNE_POINT_STEP * n)
+    out += struct.pack("<I", len(data)) + data
+    out += struct.pack("<B", 1)                      # is_dense
+    return out
+
+
+# --------------------------------------------------------------------------- #
+
+SCAN = "/velodyne_points"
+IMU = "/imu/data"
+GPS = "/fix"
+CAN = "/can/twist"
+
+CONNS = {SCAN: (0, "sensor_msgs/PointCloud2"),
+         IMU: (1, "sensor_msgs/Imu"),
+         GPS: (2, "sensor_msgs/NavSatFix"),
+         CAN: (3, "geometry_msgs/TwistStamped")}
+
+
+def _write_synth_bag(tmp_path, log, compression="none", gps=None, can=None):
+    inner = b"".join(
+        _connection(cid, topic, mtype)
+        for topic, (cid, mtype) in CONNS.items()
+    )
+    events = []
+    for t, acc, gyro in zip(log.imu_t, log.imu_acc, log.imu_gyro):
+        events.append((t, _message(CONNS[IMU][0], t,
+                                   _enc_imu(t, (0, 0, 0, 1), gyro, acc))))
+    for i, t in enumerate(log.scan_t):
+        v = log.scan_valid[i]
+        events.append((t, _message(
+            CONNS[SCAN][0], t,
+            _enc_pointcloud2(t, log.scan_points[i][v], log.scan_times[i][v]),
+        )))
+    for t, lat, lon, alt, cd in gps or []:
+        events.append((t, _message(CONNS[GPS][0], t,
+                                   _enc_navsatfix(t, lat, lon, alt, cd))))
+    for t, vx, wz in can or []:
+        events.append((t, _message(CONNS[CAN][0], t,
+                                   _enc_twist_stamped(t, vx, wz))))
+    events.sort(key=lambda e: e[0])
+    inner += b"".join(r for _, r in events)
+    path = tmp_path / "drive.bag"
+    path.write_bytes(_bag([_chunk(inner, compression)]))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def tiny_log():
+    world = make_world(seed=5, extent=60.0, n_ground=20_000, n_wall=8_000)
+    return synthesize_log(world, duration=1.0, points_per_scan=256,
+                          max_range=40.0, seed=6)
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2"])
+def test_roundtrip_synth_log(tmp_path, tiny_log, compression):
+    log = tiny_log
+    t0 = float(log.imu_t[0])
+    gps = [(t0 + 0.1, 37.3, 127.0, 40.0, (2.0, 2.5, 9.0)),
+           (t0 + 0.6, 37.3005, 127.0004, 41.0, (1.0, 1.0, 4.0))]
+    can = [(t0 + 0.2, 5.0, 0.1), (t0 + 0.7, 5.5, -0.2)]
+    path = _write_synth_bag(tmp_path, log, compression, gps=gps, can=can)
+
+    out = bag_to_replay_log(path, SCAN, IMU, gps_topic=GPS, can_topic=CAN,
+                            ref_origin=(37.3, 127.0, 40.0))
+
+    np.testing.assert_allclose(out.imu_t, log.imu_t, atol=1e-8)
+    np.testing.assert_allclose(out.imu_gyro, log.imu_gyro, atol=1e-12)
+    np.testing.assert_allclose(out.imu_acc, log.imu_acc, atol=1e-12)
+    np.testing.assert_allclose(out.scan_t, log.scan_t, atol=1e-8)
+    assert out.scan_points.shape[0] == log.scan_points.shape[0]
+    for i in range(len(log.scan_t)):
+        v = log.scan_valid[i]
+        k = int(v.sum())
+        assert out.scan_valid[i, :k].all()
+        assert not out.scan_valid[i, k:].any()
+        np.testing.assert_allclose(out.scan_points[i, :k],
+                                   log.scan_points[i][v], rtol=1e-6)
+        np.testing.assert_allclose(out.scan_times[i, :k],
+                                   log.scan_times[i][v], rtol=1e-5)
+    # GPS projected exactly as ops.geo with the given origin
+    want = np.asarray(geo.project_gps_point(
+        np.array([g[1] for g in gps]), np.array([g[2] for g in gps]),
+        np.array([g[3] for g in gps]), 37.3, 127.0, 40.0))
+    np.testing.assert_allclose(out.gps_pos, want, atol=1e-9)
+    np.testing.assert_allclose(out.gps_cov, [g[4] for g in gps])
+    np.testing.assert_allclose(out.can_vel, [c[1] for c in can])
+    np.testing.assert_allclose(out.can_yaw_rate, [c[2] for c in can])
+
+
+def test_read_bag_streams_types(tmp_path, tiny_log):
+    path = _write_synth_bag(tmp_path, tiny_log)
+    types = {m.msg_type for m in read_bag(path)}
+    assert types == {"sensor_msgs/PointCloud2", "sensor_msgs/Imu"}
+    only_imu = list(read_bag(path, topics=[IMU]))
+    assert {m.topic for m in only_imu} == {IMU}
+    assert len(only_imu) == len(tiny_log.imu_t)
+
+
+def test_lz4_chunk_raises(tmp_path, tiny_log):
+    inner = _connection(1, IMU, "sensor_msgs/Imu")
+    path = tmp_path / "lz4.bag"
+    path.write_bytes(_bag([_chunk(inner, "none")[:0]
+                           + _record(_fields(op=b"\x05",
+                                             compression=b"lz4",
+                                             size=struct.pack("<I", 0)),
+                                     b"")]))
+    with pytest.raises(NotImplementedError, match="lz4"):
+        list(read_bag(str(path)))
+
+
+def test_bad_banner_raises(tmp_path):
+    path = tmp_path / "bad.bag"
+    path.write_bytes(b"#ROSBAG V1.2\nxxxx")
+    with pytest.raises(ValueError, match="v2.0"):
+        list(read_bag(str(path)))
+
+
+def test_first_fix_becomes_origin(tmp_path, tiny_log):
+    t0 = float(tiny_log.imu_t[0])
+    gps = [(t0 + 0.1, 37.3, 127.0, 40.0, (1.0, 1.0, 1.0)),
+           (t0 + 0.5, 37.3001, 127.0, 40.0, (1.0, 1.0, 1.0))]
+    path = _write_synth_bag(tmp_path, tiny_log, gps=gps)
+    out = bag_to_replay_log(path, SCAN, IMU, gps_topic=GPS)
+    np.testing.assert_allclose(out.gps_pos[0], [0, 0, 0], atol=1e-9)
+    assert out.gps_pos[1][1] > 10.0  # ~11 m north per 1e-4 deg lat
