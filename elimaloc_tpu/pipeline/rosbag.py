@@ -13,9 +13,9 @@ deserializers — with no ROS installation, and assembles a
 Bag format: http://wiki.ros.org/Bags/Format/2.0 — a `#ROSBAG V2.0` banner
 followed by length-prefixed records, each a header (length-prefixed
 `name=value` fields) plus a data blob. Messages live inside chunk records
-(op 0x05), compressed with ``none`` or ``bz2`` (stdlib); ``lz4`` bags use
-the roslz4 stream framing which has no stdlib decoder — re-record or
-``rosbag decompress`` those first (raised as a clear error).
+(op 0x05), compressed with ``none``, ``bz2`` (stdlib), or ``lz4``
+(roslz4 writes standard LZ4 frames — decoded by the pure-Python
+:mod:`.lz4f`).
 
 Timestamps: assembly uses each message's HEADER stamp, matching the
 reference callbacks (`ekf_localization.cpp:132`, `pcm_matching.cpp:216`),
@@ -124,11 +124,13 @@ def read_bag(path: str, topics: Optional[Sequence[str]] = None
                 inner = data
             elif comp == b"bz2":
                 inner = bz2.decompress(data)
+            elif comp == b"lz4":
+                from .lz4f import frame_decompress
+
+                inner = frame_decompress(data)
             else:
                 raise NotImplementedError(
-                    f"chunk compression {comp.decode()!r}: roslz4 framing "
-                    "has no stdlib decoder — run `rosbag decompress` on the "
-                    "bag first"
+                    f"chunk compression {comp.decode()!r}"
                 )
             for h2, d2 in _iter_records(inner):
                 yield from handle(h2, d2)
@@ -335,12 +337,22 @@ def bag_to_replay_log(
     scans = sorted(per[scan_topic], key=lambda m: m["t"])
     decoded = []
     for m in scans:
-        n = m["width"] * m["height"]
         fields = [(nm, off, dt) for nm, off, dt in m["fields"]]
+        names = {nm for nm, _, _ in fields}
+        no_time = lidar_type != "ouster" and "time" not in names
+        if no_time:
+            # older velodyne drivers emit no per-point time: deskew then
+            # sees zero offsets (a no-op), matching the reference fed the
+            # same cloud
+            from .pointcloud import FLOAT32
+
+            fields = fields + [("time", 0, FLOAT32)]
         xyz, _inten, ptime = convert_scan(
             lidar_type, m["data"], index_sampling,
             fields=fields, point_step=m["point_step"],
         )
+        if no_time:
+            ptime = np.zeros_like(ptime)
         decoded.append((m["t"], xyz, ptime))
     cap = max(len(x) for _, x, _ in decoded)
     ns = len(decoded)

@@ -220,18 +220,6 @@ def test_read_bag_streams_types(tmp_path, tiny_log):
     assert len(only_imu) == len(tiny_log.imu_t)
 
 
-def test_lz4_chunk_raises(tmp_path, tiny_log):
-    inner = _connection(1, IMU, "sensor_msgs/Imu")
-    path = tmp_path / "lz4.bag"
-    path.write_bytes(_bag([_chunk(inner, "none")[:0]
-                           + _record(_fields(op=b"\x05",
-                                             compression=b"lz4",
-                                             size=struct.pack("<I", 0)),
-                                     b"")]))
-    with pytest.raises(NotImplementedError, match="lz4"):
-        list(read_bag(str(path)))
-
-
 def test_bad_banner_raises(tmp_path):
     path = tmp_path / "bad.bag"
     path.write_bytes(b"#ROSBAG V1.2\nxxxx")
@@ -247,3 +235,114 @@ def test_first_fix_becomes_origin(tmp_path, tiny_log):
     out = bag_to_replay_log(path, SCAN, IMU, gps_topic=GPS)
     np.testing.assert_allclose(out.gps_pos[0], [0, 0, 0], atol=1e-9)
     assert out.gps_pos[1][1] > 10.0  # ~11 m north per 1e-4 deg lat
+
+
+# --------------------------------------------------------------------------- #
+# LZ4 (roslz4 chunks)
+# --------------------------------------------------------------------------- #
+
+from elimaloc_tpu.pipeline.lz4f import block_decompress, frame_decompress
+
+
+def _lz4_literal_block(payload: bytes) -> bytes:
+    """Encode one all-literals LZ4 block (a valid final sequence)."""
+    n = len(payload)
+    if n < 15:
+        return bytes([n << 4]) + payload
+    out = bytearray([0xF0])
+    rem = n - 15
+    while rem >= 255:
+        out.append(255)
+        rem -= 255
+    out.append(rem)
+    return bytes(out) + payload
+
+
+def _lz4_frame(blocks, flg_extra=0, content_size=None) -> bytes:
+    flg = 0x40 | 0x20 | flg_extra          # v01, block-independent
+    hdr = struct.pack("<I", 0x184D2204) + bytes([flg, 0x40])
+    if content_size is not None:
+        flg |= 0x08
+        hdr = struct.pack("<I", 0x184D2204) + bytes([flg, 0x40])
+        hdr += struct.pack("<Q", content_size)
+    hdr += b"\x00"                         # header checksum (not verified)
+    body = b""
+    for raw, block in blocks:
+        size = len(block) | (0x80000000 if raw else 0)
+        body += struct.pack("<I", size) + block
+        if flg_extra & 0x10:               # block checksum flag
+            body += b"\x00\x00\x00\x00"
+    body += struct.pack("<I", 0)           # EndMark
+    if flg_extra & 0x04:                   # content checksum flag
+        body += b"\x00\x00\x00\x00"
+    return hdr + body
+
+
+class TestLz4:
+    def test_block_literals_only(self):
+        out = bytearray()
+        block_decompress(_lz4_literal_block(b"hello world"), out)
+        assert bytes(out) == b"hello world"
+
+    def test_block_match_copy(self):
+        # "abc" literals then match offset=3 len=9 -> "abc" * 4
+        block = bytes([0x35]) + b"abc" + struct.pack("<H", 3)
+        block += _lz4_literal_block(b"")
+        out = bytearray()
+        block_decompress(block, out)
+        assert bytes(out) == b"abc" * 4
+
+    def test_block_overlapping_rle(self):
+        # "x" literal then match offset=1 len=19 (0xF + 4, ext 0) -> 20 x's
+        block = bytes([0x1F]) + b"x" + struct.pack("<H", 1) + bytes([0])
+        out = bytearray()
+        block_decompress(block, out)
+        assert bytes(out) == b"x" * 20
+
+    def test_block_extended_literal_length(self):
+        payload = bytes(range(256)) * 2  # 512 literals: 15 + 255 + 242
+        out = bytearray()
+        block_decompress(_lz4_literal_block(payload), out)
+        assert bytes(out) == payload
+
+    def test_frame_raw_and_compressed_blocks(self):
+        data = _lz4_frame([
+            (True, b"RAWBYTES"),
+            (False, bytes([0x35]) + b"abc" + struct.pack("<H", 3)),
+        ])
+        assert frame_decompress(data) == b"RAWBYTES" + b"abc" * 4
+
+    def test_frame_cross_block_match(self):
+        # block-DEPENDENT: second block's match reaches into the first's
+        # output (offset 6 spans the boundary)
+        first = _lz4_literal_block(b"abcdef")
+        second = bytes([0x08]) + struct.pack("<H", 6) + _lz4_literal_block(b"")
+        data = _lz4_frame([(False, first), (False, second)],
+                          flg_extra=0)
+        # the 12-byte match at offset 6 replicates "abcdef" twice
+        assert frame_decompress(data) == b"abcdef" * 3
+
+    def test_frame_skips_checksums_and_content_size(self):
+        data = _lz4_frame([(True, b"payload")], flg_extra=0x10 | 0x04,
+                          content_size=7)
+        assert frame_decompress(data) == b"payload"
+
+    def test_bad_magic(self):
+        with pytest.raises(ValueError, match="magic"):
+            frame_decompress(b"\x00\x00\x00\x00rest")
+
+
+def test_lz4_bag_roundtrip(tmp_path, tiny_log):
+    """A full bag whose chunk is an lz4 frame of literal blocks."""
+    inner = _connection(1, IMU, "sensor_msgs/Imu")
+    for t, acc, gyro in zip(tiny_log.imu_t, tiny_log.imu_acc,
+                            tiny_log.imu_gyro):
+        inner += _message(1, t, _enc_imu(t, (0, 0, 0, 1), gyro, acc))
+    frame = _lz4_frame([(False, _lz4_literal_block(inner))])
+    hdr = _fields(op=b"\x05", compression=b"lz4",
+                  size=struct.pack("<I", len(inner)))
+    path = tmp_path / "lz4.bag"
+    path.write_bytes(_bag([_record(hdr, frame)]))
+    msgs = list(read_bag(str(path)))
+    assert len(msgs) == len(tiny_log.imu_t)
+    assert all(m.msg_type == "sensor_msgs/Imu" for m in msgs)
