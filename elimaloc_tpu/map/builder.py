@@ -126,7 +126,15 @@ def _plane_regularized_cov(pts: np.ndarray):
 
 
 def _plane_regularize_batch(covs: np.ndarray) -> np.ndarray:
-    """Batched SVD plane regularization: U diag(1,1,1e-3) V^T per matrix."""
+    """Batched plane regularization: U diag(1,1,1e-3) V^T per matrix
+    (reference: CalVoxelCov, voxel_hash_map.hpp:114-148).
+
+    An eigh-based identity form (I - (1-1e-3) q3q3^T) is ~1.4x faster but
+    picks a DIFFERENT arbitrary basis than LAPACK's SVD on degenerate
+    covariances (zero / rank-1 — e.g. <2 neighbors), and the reference's
+    Eigen SVD convention there is observable through GICP weights — so the
+    SVD form is kept for parity (measured: the eigh variant flips ~20% of
+    degenerate point covs to diag(1e-3,1,1) vs the SVD's diag(1,1,1e-3))."""
     if covs.shape[0] == 0:
         return covs
     u, _, vt = np.linalg.svd(covs)
@@ -162,39 +170,47 @@ def build_voxel_map(
 
         native = native_builder.maybe_load()
 
-    if native is not None:
-        vox_coords, pts_block, counts = native.insert_points(
-            points, voxel_size, max_points_per_voxel
-        )
-    else:
-        vox_coords, pts_block, counts = _insert_points_numpy(
-            points, voxel_size, max_points_per_voxel
-        )
-
-    v = vox_coords.shape[0]
-    m = max_points_per_voxel
-
     # Covariances are computed from the float32-rounded points that are
     # actually stored on device, so the build output is self-consistent (the
     # SVD plane regularization is eigenvector-sensitive for degenerate voxels;
     # mixing precisions would make stored cov inconsistent with stored points).
-    pts_block = pts_block.astype(np.float32).astype(np.float64)
-
-    # --- Per-voxel covariance (VGICP/AVGICP precompute), vectorized ---
-    slot_mask = np.arange(m)[None, :] < counts[:, None]
-    safe_cnt = np.maximum(counts, 1)
-    masked = np.where(slot_mask[:, :, None], pts_block, 0.0)
-    vox_mean = masked.sum(axis=1) / safe_cnt[:, None]
-    vox_cov = np.tile(np.eye(3), (v, 1, 1))
-    if compute_voxel_cov:
-        centered = np.where(
-            slot_mask[:, :, None], pts_block - vox_mean[:, None, :], 0.0
+    if native is not None:
+        # The native finish pass rounds the block, pads with inf, and
+        # accumulates mean + raw cov per voxel while it is hot in cache —
+        # this skips four full-block NumPy passes (~3x build wall-clock).
+        vox_coords, padded_block, counts, vox_mean, raw = native.build_map(
+            points, voxel_size, max_points_per_voxel
         )
-        raw = np.einsum("vmi,vmj->vij", centered, centered) / np.maximum(
-            counts - 1, 1
-        )[:, None, None]
-        multi = counts > 1
-        vox_cov[multi] = _plane_regularize_batch(raw[multi])
+        v = vox_coords.shape[0]
+        m = max_points_per_voxel
+        vox_cov = np.tile(np.eye(3), (v, 1, 1))
+        if compute_voxel_cov:
+            multi = counts > 1
+            vox_cov[multi] = _plane_regularize_batch(raw[multi])
+    else:
+        vox_coords, pts_block, counts = _insert_points_numpy(
+            points, voxel_size, max_points_per_voxel
+        )
+        v = vox_coords.shape[0]
+        m = max_points_per_voxel
+        pts_block = pts_block.astype(np.float32).astype(np.float64)
+
+        # --- Per-voxel covariance (VGICP/AVGICP precompute), vectorized ---
+        slot_mask = np.arange(m)[None, :] < counts[:, None]
+        safe_cnt = np.maximum(counts, 1)
+        masked = np.where(slot_mask[:, :, None], pts_block, 0.0)
+        vox_mean = masked.sum(axis=1) / safe_cnt[:, None]
+        vox_cov = np.tile(np.eye(3), (v, 1, 1))
+        if compute_voxel_cov:
+            centered = np.where(
+                slot_mask[:, :, None], pts_block - vox_mean[:, None, :], 0.0
+            )
+            raw = np.einsum("vmi,vmj->vij", centered, centered) / np.maximum(
+                counts - 1, 1
+            )[:, None, None]
+            multi = counts > 1
+            vox_cov[multi] = _plane_regularize_batch(raw[multi])
+        padded_block = _pad_inf(pts_block, counts)
 
     # --- Hash table with bounded probe length ---
     table, table_fp, table_size, max_probe = _build_table(
@@ -205,7 +221,7 @@ def build_voxel_map(
         voxel_size=float(voxel_size),
         max_points_per_voxel=m,
         vox_coords=vox_coords.astype(np.int32),
-        points=_pad_inf(pts_block, counts).astype(np.float32),
+        points=padded_block.astype(np.float32),
         counts=counts.astype(np.int32),
         vox_mean=vox_mean.astype(np.float32),
         vox_cov=vox_cov.astype(np.float32),

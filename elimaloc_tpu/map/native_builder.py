@@ -46,16 +46,23 @@ def maybe_load():
 class _NativeBuilder:
     def __init__(self, path):
         self._c = ctypes.CDLL(path)
-        self._c.elm_insert_points.restype = ctypes.c_int64
-        self._c.elm_insert_points.argtypes = [
+        self._c.elm_build_begin.restype = ctypes.c_void_p
+        self._c.elm_build_begin.argtypes = [
             ctypes.POINTER(ctypes.c_double),  # points [N*3]
             ctypes.c_int64,                   # N
             ctypes.c_double,                  # voxel_size
             ctypes.c_int64,                   # max_points_per_voxel
-            ctypes.POINTER(ctypes.c_int64),   # out vox_coords [cap*3]
-            ctypes.POINTER(ctypes.c_double),  # out block [cap*M*3]
-            ctypes.POINTER(ctypes.c_int64),   # out counts [cap]
-            ctypes.c_int64,                   # cap (max voxels)
+        ]
+        self._c.elm_build_num_voxels.restype = ctypes.c_int64
+        self._c.elm_build_num_voxels.argtypes = [ctypes.c_void_p]
+        self._c.elm_build_finish.restype = None
+        self._c.elm_build_finish.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),   # out vox_coords [V*3]
+            ctypes.POINTER(ctypes.c_double),  # out block [V*M*3]
+            ctypes.POINTER(ctypes.c_int64),   # out counts [V]
+            ctypes.POINTER(ctypes.c_double),  # out mean [V*3]
+            ctypes.POINTER(ctypes.c_double),  # out raw cov [V*9]
         ]
         try:
             self._c.elm_lzf_decompress.restype = ctypes.c_int64
@@ -84,26 +91,44 @@ class _NativeBuilder:
         except AttributeError:
             self._has_scan_step = False
 
-    def insert_points(self, points: np.ndarray, voxel_size: float, max_pts: int):
-        n = points.shape[0]
-        cap = n + 1  # every point in its own voxel, worst case
+    def build_map(self, points: np.ndarray, voxel_size: float, max_pts: int):
+        """Two-phase build (voxel_builder.cpp): begin hashes + groups point
+        coords by voxel, then finish writes min-spacing-accepted points
+        straight into exact-size output arrays — no worst-case [N, M, 3]
+        padding block (15 GB at 21M points in the old single-call design).
+
+        Returns ``(vox_coords, block, counts, mean, raw_cov)``: block values
+        are f32-rounded with +inf pad rows; mean/raw_cov are accumulated from
+        the rounded points in f64 (plane regularization is the caller's)."""
         pts = np.ascontiguousarray(points, dtype=np.float64)
-        vox_coords = np.zeros((cap, 3), dtype=np.int64)
-        block = np.zeros((cap, max_pts, 3), dtype=np.float64)
-        counts = np.zeros(cap, dtype=np.int64)
-        v = self._c.elm_insert_points(
-            pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-            n,
-            voxel_size,
-            max_pts,
+        n = pts.shape[0]
+        pts_p = pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        handle = self._c.elm_build_begin(pts_p, n, voxel_size, max_pts)
+        if not handle:
+            raise RuntimeError("native elm_build_begin failed")
+        v = self._c.elm_build_num_voxels(handle)
+        vox_coords = np.empty((v, 3), dtype=np.int64)
+        block = np.empty((v, max_pts, 3), dtype=np.float64)
+        counts = np.empty(v, dtype=np.int64)
+        mean = np.empty((v, 3), dtype=np.float64)
+        raw_cov = np.empty((v, 3, 3), dtype=np.float64)
+        self._c.elm_build_finish(
+            handle,
             vox_coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             block.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            cap,
+            mean.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            raw_cov.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         )
-        if v < 0:
-            raise RuntimeError("native elm_insert_points failed")
-        return vox_coords[:v], block[:v], counts[:v]
+        return vox_coords, block, counts, mean, raw_cov
+
+    def insert_points(self, points: np.ndarray, voxel_size: float, max_pts: int):
+        """Insertion-only view of :meth:`build_map` (block is f32-rounded
+        with +inf pads, unlike the raw-f64 NumPy fallback)."""
+        vox_coords, block, counts, _, _ = self.build_map(
+            points, voxel_size, max_pts
+        )
+        return vox_coords, block, counts
 
     def lzf_decompress(self, src: bytes, expected: int):
         """LZF decompression; returns bytes or None when unavailable/failed."""

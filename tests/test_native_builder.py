@@ -32,6 +32,51 @@ def test_native_matches_numpy():
     native_builder.maybe_load() is None,
     reason="native lib not built (make -C native)",
 )
+def test_native_full_build_matches_numpy():
+    """build_voxel_map native vs NumPy: the native finish pass fuses the
+    f32 rounding, inf padding, and mean/cov accumulation — the resulting
+    BuiltMap must match the pure-NumPy build on every tensor."""
+    from elimaloc_tpu.map.builder import build_voxel_map
+
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-15, 15, size=(30000, 3))
+    bn = build_voxel_map(pts, 1.0, 10, compute_voxel_cov=True,
+                         use_native=True)
+    bp = build_voxel_map(pts, 1.0, 10, compute_voxel_cov=True,
+                         use_native=False)
+    on = np.lexsort(bn.vox_coords.T)
+    op = np.lexsort(bp.vox_coords.T)
+    np.testing.assert_array_equal(bn.vox_coords[on], bp.vox_coords[op])
+    np.testing.assert_array_equal(bn.counts[on], bp.counts[op])
+    # stored points: identical incl. the +inf pad rows (both f32-rounded)
+    np.testing.assert_array_equal(bn.points[on], bp.points[op])
+    np.testing.assert_allclose(
+        bn.vox_mean[on], bp.vox_mean[op], rtol=0, atol=1e-6)
+    # The regularized cov goes through an eigendecomposition whose plane
+    # normal is ill-conditioned for near-isotropic voxels (an eps-level raw
+    # difference rotates q3 by eps/gap) — so pin the native contract at the
+    # RAW covariance instead, which must match the NumPy accumulation to
+    # machine precision. Regularization itself is shared code
+    # (_plane_regularize_batch, covered by test_builder_cov).
+    nb = native_builder.maybe_load()
+    _, _, cnt_r, _, raw_n = nb.build_map(pts, 1.0, 10)
+    from elimaloc_tpu.map.builder import _insert_points_numpy
+
+    vc_p, blk_p, cnt_p = _insert_points_numpy(pts, 1.0, 10)
+    blk_p = blk_p.astype(np.float32).astype(np.float64)
+    mask = np.arange(10)[None, :] < cnt_p[:, None]
+    masked = np.where(mask[:, :, None], blk_p, 0.0)
+    mean_p = masked.sum(axis=1) / np.maximum(cnt_p, 1)[:, None]
+    centered = np.where(mask[:, :, None], blk_p - mean_p[:, None, :], 0.0)
+    raw_p = np.einsum("vmi,vmj->vij", centered, centered) / np.maximum(
+        cnt_p - 1, 1)[:, None, None]
+    np.testing.assert_allclose(raw_n[on], raw_p[op], rtol=0, atol=1e-12)
+
+
+@pytest.mark.skipif(
+    native_builder.maybe_load() is None,
+    reason="native lib not built (make -C native)",
+)
 def test_native_negative_coords_floor():
     nb = native_builder.maybe_load()
     pts = np.array([[-0.5, -0.5, -0.5], [0.5, 0.5, 0.5]])
