@@ -207,7 +207,12 @@ def cmd_bag_import(args):
     from .pipeline.rosbag import bag_to_replay_log
 
     origin = None
-    if args.ref_lat is not None:
+    if args.ref_lat is not None or args.ref_lon is not None:
+        if args.ref_lat is None or args.ref_lon is None:
+            raise SystemExit(
+                "--ref-lat and --ref-lon must be given together "
+                "(--ref-hgt defaults to 0)"
+            )
         origin = (args.ref_lat, args.ref_lon, args.ref_hgt)
     log = bag_to_replay_log(
         args.bag, args.scan_topic, args.imu_topic,

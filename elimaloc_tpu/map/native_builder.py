@@ -40,6 +40,19 @@ def maybe_load():
                 break
             except OSError:
                 _lib = None
+            except AttributeError:
+                # a stale .so from before the two-phase build API: honor the
+                # documented NumPy fallback instead of crashing, but say why
+                import warnings
+
+                warnings.warn(
+                    f"{path} predates the elm_build_begin/finish API — "
+                    "falling back to the NumPy builder; rebuild with "
+                    "`make -C native`",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
+                _lib = None
     return _lib
 
 
@@ -55,6 +68,8 @@ class _NativeBuilder:
         ]
         self._c.elm_build_num_voxels.restype = ctypes.c_int64
         self._c.elm_build_num_voxels.argtypes = [ctypes.c_void_p]
+        self._c.elm_build_free.restype = None
+        self._c.elm_build_free.argtypes = [ctypes.c_void_p]
         self._c.elm_build_finish.restype = None
         self._c.elm_build_finish.argtypes = [
             ctypes.c_void_p,
@@ -105,13 +120,22 @@ class _NativeBuilder:
         pts_p = pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
         handle = self._c.elm_build_begin(pts_p, n, voxel_size, max_pts)
         if not handle:
-            raise RuntimeError("native elm_build_begin failed")
-        v = self._c.elm_build_num_voxels(handle)
-        vox_coords = np.empty((v, 3), dtype=np.int64)
-        block = np.empty((v, max_pts, 3), dtype=np.float64)
-        counts = np.empty(v, dtype=np.int64)
-        mean = np.empty((v, 3), dtype=np.float64)
-        raw_cov = np.empty((v, 3, 3), dtype=np.float64)
+            raise MemoryError(
+                "native elm_build_begin could not allocate its scratch "
+                f"(~32 bytes/point for {n} points)"
+            )
+        try:
+            v = self._c.elm_build_num_voxels(handle)
+            vox_coords = np.empty((v, 3), dtype=np.int64)
+            block = np.empty((v, max_pts, 3), dtype=np.float64)
+            counts = np.empty(v, dtype=np.int64)
+            mean = np.empty((v, 3), dtype=np.float64)
+            raw_cov = np.empty((v, 3, 3), dtype=np.float64)
+        except BaseException:
+            # finish() consumes the handle; on any failure before it runs
+            # (e.g. MemoryError on the [V, M, 3] block) free it explicitly
+            self._c.elm_build_free(handle)
+            raise
         self._c.elm_build_finish(
             handle,
             vox_coords.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),

@@ -75,6 +75,23 @@ def _iter_records(buf: bytes, off: int = 0) -> Iterator[Tuple[Dict[bytes, bytes]
         yield header, data
 
 
+def _iter_records_file(f) -> Iterator[Tuple[Dict[bytes, bytes], bytes]]:
+    """Stream length-prefixed records from an open file — the bag is never
+    held in memory whole (reference datasets are multi-GB; only one record,
+    i.e. at most one ~1 MB chunk, is resident at a time)."""
+    while True:
+        head = f.read(4)
+        if len(head) < 4:
+            return
+        (hlen,) = _U32.unpack(head)
+        header = _parse_fields(f.read(hlen))
+        (dlen,) = _U32.unpack(f.read(4))
+        data = f.read(dlen)
+        if len(data) < dlen:
+            raise ValueError("truncated rosbag record")
+        yield header, data
+
+
 @dataclasses.dataclass
 class BagMessage:
     topic: str
@@ -92,15 +109,6 @@ def read_bag(path: str, topics: Optional[Sequence[str]] = None
     record writes receipt order); downstream assembly re-sorts by header
     stamp anyway.
     """
-    with open(path, "rb") as f:
-        banner = f.readline()
-        if not banner.startswith(b"#ROSBAG V2.0"):
-            raise ValueError(
-                f"not a rosbag v2.0 file (banner {banner[:20]!r}); "
-                "v1.x bags predate 2010 and are unsupported"
-            )
-        buf = f.read()
-
     want = set(topics) if topics is not None else None
     conns: Dict[int, Tuple[str, str]] = {}
 
@@ -136,8 +144,15 @@ def read_bag(path: str, topics: Optional[Sequence[str]] = None
                 yield from handle(h2, d2)
         # bag header / index / chunk-info records carry no messages
 
-    for header, data in _iter_records(buf):
-        yield from handle(header, data)
+    with open(path, "rb") as f:
+        banner = f.readline()
+        if not banner.startswith(b"#ROSBAG V2.0"):
+            raise ValueError(
+                f"not a rosbag v2.0 file (banner {banner[:20]!r}); "
+                "v1.x bags predate 2010 and are unsupported"
+            )
+        for header, data in _iter_records_file(f):
+            yield from handle(header, data)
 
 
 # --------------------------------------------------------------------------- #
@@ -337,6 +352,19 @@ def bag_to_replay_log(
     scans = sorted(per[scan_topic], key=lambda m: m["t"])
     decoded = []
     for m in scans:
+        # Organized clouds (height>1, e.g. Ouster ring-major) may pad each
+        # row to row_step > width*point_step (allowed by the PointCloud2
+        # spec); the decoders infer the point count as len(data)//point_step,
+        # so strip the padding and any trailing slack first.
+        w, h, ps = m["width"], m["height"], m["point_step"]
+        rs = m["row_step"] or w * ps
+        data = m["data"]
+        if h >= 1 and rs != w * ps:
+            data = b"".join(
+                data[r * rs:r * rs + w * ps] for r in range(h)
+            )
+        else:
+            data = data[:h * w * ps]
         fields = [(nm, off, dt) for nm, off, dt in m["fields"]]
         names = {nm for nm, _, _ in fields}
         no_time = lidar_type != "ouster" and "time" not in names
@@ -348,8 +376,8 @@ def bag_to_replay_log(
 
             fields = fields + [("time", 0, FLOAT32)]
         xyz, _inten, ptime = convert_scan(
-            lidar_type, m["data"], index_sampling,
-            fields=fields, point_step=m["point_step"],
+            lidar_type, data, index_sampling,
+            fields=fields, point_step=ps,
         )
         if no_time:
             ptime = np.zeros_like(ptime)
@@ -387,7 +415,10 @@ def bag_to_replay_log(
         lat = np.array([m["lat"] for m in fixes])
         lon = np.array([m["lon"] for m in fixes])
         alt = np.array([m["alt"] for m in fixes])
-        enu = np.asarray(fwd(lat, lon, alt, *ref_origin))
+        # xp=np: host-side ingest must project in f64 — jnp silently runs
+        # f32 without jax_enable_x64, and the ~6.4e6 m ECEF cancellation
+        # then corrupts positions by ~0.8 m (geo module docstring)
+        enu = np.asarray(fwd(lat, lon, alt, *ref_origin, xp=np))
         kw.update(
             gps_t=np.array([m["t"] for m in fixes], np.float64),
             gps_pos=np.asarray(enu, np.float64),

@@ -14,6 +14,7 @@
 #include <cmath>
 #include <cstdint>
 #include <limits>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -109,9 +110,11 @@ struct KeyTable {
 
 extern "C" {
 
+// Returns nullptr on allocation failure (a bad_alloc must not unwind
+// through the ctypes FFI boundary — it would std::terminate the process).
 void* elm_build_begin(const double* points, int64_t n, double voxel_size,
-                      int64_t max_pts) {
-    auto* st = new BuildState;
+                      int64_t max_pts) try {
+    std::unique_ptr<BuildState> st(new BuildState);
     st->voxel_size = voxel_size;
     st->max_pts = max_pts;
 
@@ -151,7 +154,9 @@ void* elm_build_begin(const double* points, int64_t n, double voxel_size,
         dst[1] = p[1];
         dst[2] = p[2];
     }
-    return st;
+    return st.release();
+} catch (...) {
+    return nullptr;
 }
 
 int64_t elm_build_num_voxels(void* handle) {

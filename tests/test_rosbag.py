@@ -220,6 +220,97 @@ def test_read_bag_streams_types(tmp_path, tiny_log):
     assert len(only_imu) == len(tiny_log.imu_t)
 
 
+def _enc_pointcloud2_organized(t, xyz, times, height, row_pad) -> bytes:
+    """Velodyne layout, organized (height>1) with per-row alignment padding
+    (row_step > width*point_step, allowed by the PointCloud2 spec)."""
+    n = len(xyz)
+    assert n % height == 0
+    width = n // height
+    rec = np.zeros(n, np.dtype({
+        "names": ["x", "y", "z", "intensity", "ring", "time"],
+        "offsets": [0, 4, 8, 12, 16, 18],
+        "formats": [np.float32] * 4 + [np.uint16, np.float32],
+        "itemsize": VELODYNE_POINT_STEP,
+    }))
+    rec["x"], rec["y"], rec["z"] = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rec["time"] = times
+    row_bytes = rec.tobytes()
+    row_step = width * VELODYNE_POINT_STEP + row_pad
+    data = b"".join(
+        row_bytes[r * width * VELODYNE_POINT_STEP:
+                  (r + 1) * width * VELODYNE_POINT_STEP] + b"\xee" * row_pad
+        for r in range(height)
+    )
+    fields = [("x", 0, FLOAT32), ("y", 4, FLOAT32), ("z", 8, FLOAT32),
+              ("intensity", 12, FLOAT32), ("ring", 16, UINT16),
+              ("time", 18, FLOAT32)]
+    out = _header(t, "lidar") + struct.pack("<II", height, width)
+    out += struct.pack("<I", len(fields))
+    for name, off, dt in fields:
+        nb = name.encode()
+        out += (struct.pack("<I", len(nb)) + nb
+                + struct.pack("<IBI", off, dt, 1))
+    out += struct.pack("<B", 0)
+    out += struct.pack("<II", VELODYNE_POINT_STEP, row_step)
+    out += struct.pack("<I", len(data)) + data
+    out += struct.pack("<B", 1)
+    return out
+
+
+def test_row_padded_organized_cloud(tmp_path, tiny_log):
+    """height>1 clouds with row alignment padding decode to the same points
+    as the dense encoding (the decoder must not stride across the pad)."""
+    log = tiny_log
+    t = float(log.scan_t[0])
+    v = log.scan_valid[0]
+    xyz = log.scan_points[0][v][:64]
+    times = log.scan_times[0][v][:64]
+    inner = _connection(0, SCAN, "sensor_msgs/PointCloud2")
+    inner += _connection(1, IMU, "sensor_msgs/Imu")
+    inner += _message(
+        0, t, _enc_pointcloud2_organized(t, xyz, times, height=4, row_pad=7))
+    for ti, acc, gyro in zip(log.imu_t[:5], log.imu_acc, log.imu_gyro):
+        inner += _message(1, ti, _enc_imu(ti, (0, 0, 0, 1), gyro, acc))
+    path = tmp_path / "organized.bag"
+    path.write_bytes(_bag([_chunk(inner)]))
+    out = bag_to_replay_log(str(path), SCAN, IMU)
+    assert int(out.scan_valid[0].sum()) == 64
+    np.testing.assert_allclose(out.scan_points[0][:64], xyz, rtol=1e-6)
+    np.testing.assert_allclose(out.scan_times[0][:64], times, rtol=1e-5)
+
+
+def test_gps_projection_f64_without_x64(tmp_path, tiny_log):
+    """Bag GPS import must be full f64 even when jax_enable_x64 is OFF (the
+    production default — conftest enables it for tests, so this runs in a
+    clean subprocess). jnp-projected ENU at ECEF magnitudes used to lose
+    ~0.8 m to f32 cancellation."""
+    import os
+    import subprocess
+    import sys
+
+    t0 = float(tiny_log.imu_t[0])
+    gps = [(t0 + 0.1, 37.3, 127.0, 40.0, (1.0, 1.0, 1.0)),
+           (t0 + 0.5, 37.3005, 127.0004, 41.0, (1.0, 1.0, 1.0))]
+    path = _write_synth_bag(tmp_path, tiny_log, gps=gps)
+    code = f"""
+import numpy as np
+from elimaloc_tpu.pipeline.rosbag import bag_to_replay_log
+from elimaloc_tpu.ops import geo
+out = bag_to_replay_log({path!r}, {SCAN!r}, {IMU!r}, gps_topic={GPS!r},
+                        ref_origin=(37.3, 127.0, 40.0))
+want = geo.project_gps_point(
+    np.array([37.3, 37.3005]), np.array([127.0, 127.0004]),
+    np.array([40.0, 41.0]), 37.3, 127.0, 40.0, xp=np)
+print(float(np.abs(out.gps_pos - want).max()))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("JAX_ENABLE_X64", None)
+    res = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr
+    assert float(res.stdout.strip().splitlines()[-1]) < 1e-9
+
+
 def test_bad_banner_raises(tmp_path):
     path = tmp_path / "bad.bag"
     path.write_bytes(b"#ROSBAG V1.2\nxxxx")
