@@ -158,8 +158,8 @@ def make_deskew_info(imu_time, imu_gyro, imu_valid, ring_time, ring_pos,
                      ring_rpy, ring_vel_local, ring_gyro, ring_valid,
                      scan_cur, scan_end,
                      window_budget: int = 64) -> DeskewInfo:
-    """``window_budget``: the per-point interpolation (one-hot [N, W]
-    matmuls in _find_rotation_batch) pays for the full ring width, but only
+    """``window_budget``: the per-point interpolation (the [N, W] clipped
+    interval weights in _find_rotation_batch) pays for the full ring width, but only
     the samples inside the scan window matter and the ring is chronological
     — so the window is COMPACTED to a contiguous W-slice first (measured
     ~1.6 ms/frame saved at a 256-slot ring and 26k points). 64 covers a
@@ -197,39 +197,33 @@ def _find_rotation_batch(info: DeskewInfo, point_times):
     """FindRotation (cpp:731-762) for all points at once, gather-free.
 
     Per-point random access into the IMU arrays is the slowest pattern on TPU
-    (scalar-core gathers); instead the front/back samples and their times are
-    selected with one-hot matmuls on the MXU — [N,M] x [M,3] — which is both
-    exact (0/1 weights) and bandwidth-trivial.
+    (scalar-core gathers). The reference's two-sample linear interpolation
+    into the integrated-rotation table is a piecewise-linear function of
+    time, which is algebraically a sum over sample INTERVALS:
+
+        rot(t) = sum_k d_rot_k * clip((t - t_{k-1}) / dt_k, 0, 1)
+
+    with d_rot_k the rotation increment over interval k. Points before the
+    first included sample get weight 0 everywhere (-> rot = 0, the anchored
+    front sample, cpp:747-751); points past the last clip every weight to 1
+    (-> rot = rot_last, the "beyond back" branch cpp:740-745); interior
+    points interpolate exactly. One [N,W] clipped-ratio weight tensor and a
+    single [N,W] x [W,3] matmul replace searchsorted plus two one-hot
+    selections — one HBM pass over the [N,W] plane instead of three.
     """
-    t_adj = jnp.where(
-        info.imu_included,
-        info.imu_time,
-        jnp.where(info.imu_time < info.scan_cur, -jnp.inf, jnp.inf),
-    )
-    front = jnp.searchsorted(t_adj, point_times, side="right")
-    front = jnp.clip(front, info.first_idx, info.last_idx)
-    back = jnp.maximum(front - 1, info.first_idx)
-
-    m = info.imu_time.shape[0]
-    iota = jnp.arange(m, dtype=front.dtype)[None, :]
-    oh_f = (iota == front[:, None]).astype(info.imu_rot.dtype)   # [N,M]
-    oh_b = (iota == back[:, None]).astype(info.imu_rot.dtype)
-    hi = jax.lax.Precision.HIGHEST
-    # One [M,4] payload (time | rot) per one-hot: each output column is the
-    # same exact dot product as a separate matmul, but the [N,M] one-hot is
-    # streamed from HBM once instead of twice.
-    payload = jnp.concatenate([info.imu_time[:, None], info.imu_rot], axis=1)
-    sel_f = jnp.matmul(oh_f, payload, precision=hi)              # [N,4]
-    sel_b = jnp.matmul(oh_b, payload, precision=hi)
-    t_f, rot_f = sel_f[:, 0], sel_f[:, 1:4]
-    t_b, rot_b = sel_b[:, 0], sel_b[:, 1:4]
-
-    beyond = point_times > t_f
-    at_first = front == info.first_idx
-    denom = jnp.where(t_f == t_b, 1.0, t_f - t_b)
-    ratio = ((point_times - t_b) / denom)[:, None]
-    interp = rot_f * ratio + rot_b * (1.0 - ratio)
-    return jnp.where((beyond | at_first)[:, None], rot_f, interp)
+    t = info.imu_time
+    rot = info.imu_rot
+    inc = info.imu_included
+    t_prev = jnp.concatenate([t[:1], t[:-1]])
+    rot_prev = jnp.concatenate([jnp.zeros_like(rot[:1]), rot[:-1]])
+    pair_ok = inc & jnp.concatenate([jnp.zeros(1, dtype=bool), inc[:-1]])
+    dt = jnp.where(pair_ok, t - t_prev, 1.0)
+    dt = jnp.where(dt == 0.0, 1.0, dt)
+    d_rot = jnp.where(pair_ok[:, None], rot - rot_prev, 0.0)      # [W,3]
+    w = jnp.clip(
+        (point_times[:, None] - t_prev[None, :]) / dt[None, :], 0.0, 1.0
+    )                                                             # [N,W]
+    return jnp.matmul(w, d_rot, precision=jax.lax.Precision.HIGHEST)
 
 
 def deskew_points(points, rel_times, valid, info: DeskewInfo, *,

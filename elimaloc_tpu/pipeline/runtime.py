@@ -106,7 +106,11 @@ class PipelineStatic:
     # sub-loop alone is ~2 ms/frame in the round-3 trace); unrolling lets XLA
     # fuse across consecutive steps' non-dependent pieces. Swept on v5e:
     # 1 -> 164.9, 2 -> 172.1, 4 -> 173.1, 8 -> 173.2 scans/s (bitwise-equal
-    # trajectories); 4 keeps the compiled body small.
+    # trajectories); 4 keeps the compiled body small. On the CPU backend the
+    # unroll buys nothing (no dispatch gap to hide) and the 4x-bigger fused
+    # body costs ~450 MB of retained XLA compile arena (measured on the 12M-pt
+    # city replay) plus minutes of compile — make_pipeline_static resolves
+    # the backend-appropriate value at construction.
     sub_unroll: int = 4
 
 
@@ -138,7 +142,12 @@ def make_pipeline_params(cfg: ElimalocConfig, dtype=jnp.float32) -> PipelinePara
 
 def make_pipeline_static(cfg: ElimalocConfig, backend: str = "tile",
                          tile_budget=None, ds_points: int = 8192,
-                         bug_compat_deskew_z: bool = False) -> PipelineStatic:
+                         bug_compat_deskew_z: bool = False,
+                         sub_unroll: int | None = None) -> PipelineStatic:
+    if sub_unroll is None:
+        # dispatch-gap tuning for accelerators; identity-cost on CPU but
+        # 4x the compile arena (see PipelineStatic.sub_unroll)
+        sub_unroll = 1 if jax.default_backend() == "cpu" else 4
     return PipelineStatic(
         ekf_flags=EkfFlags.from_config(cfg.ekf),
         icp_static=make_icp_static(cfg.pcm, backend=backend,
@@ -151,6 +160,7 @@ def make_pipeline_static(cfg: ElimalocConfig, backend: str = "tile",
         use_can=cfg.ekf.use_can,
         use_pcm=cfg.ekf.use_pcm_matching,
         use_imu=cfg.ekf.use_imu,
+        sub_unroll=sub_unroll,
     )
 
 
@@ -613,7 +623,10 @@ class LocalizationPipeline:
         self._window_center = None
         self._prefetch = None
         self._window_prefetch = map_window_prefetch
-        self.window_stats = {"swaps": 0, "prefetch_hits": 0, "sync_swaps": 0}
+        self.window_stats = {
+            "swaps": 0, "prefetch_hits": 0, "prefetch_joins": 0,
+            "sync_swaps": 0,
+        }
         if prebuilt_tiles is not None and backend != "tile":
             raise ValueError("a HostTileMap input requires the tile backend")
         if backend == "tile":
@@ -806,18 +819,30 @@ class LocalizationPipeline:
         slack_tiles = max(
             int((self._window_tiles * ts - sensor) / ts) - 1, 1
         )
+        adopted = False
         if (
-            pf is not None and pf["done"].is_set() and "map" in pf
+            pf is not None
             and max(abs(pf["anchor"][0] - anchor[0]),
                     abs(pf["anchor"][1] - anchor[1])) <= slack_tiles
         ):
-            self._adopt_window(pf["map"], pf["center"], pf["anchor"])
-            self._prefetch = None
-            self.window_stats["prefetch_hits"] += 1
-        else:
+            if pf["done"].is_set():
+                key = "prefetch_hits"
+            else:
+                # the crop is still in flight: JOIN it rather than starting
+                # a from-scratch synchronous crop — the worker has already
+                # paged in part of the window, so the remaining wait is a
+                # fraction of a full crop (matters on starved/1-core hosts,
+                # where the worker rarely wins the race outright)
+                key = "prefetch_joins"
+                pf["done"].wait()
+            if "map" in pf:  # absent if the worker crashed
+                self._adopt_window(pf["map"], pf["center"], pf["anchor"])
+                self.window_stats[key] += 1
+                adopted = True
+        if not adopted:
             self._set_window(pos)
-            self._prefetch = None
             self.window_stats["sync_swaps"] += 1
+        self._prefetch = None
         self.window_stats["swaps"] += 1
 
     def _ground_from_tiles(self, position_xy, search_range: float = 5.0):
@@ -870,6 +895,7 @@ class LocalizationPipeline:
                 tile_budget=old_static.icp_static.tile_budget,
                 ds_points=old_static.ds_points,
                 bug_compat_deskew_z=old_static.bug_compat_deskew_z,
+                sub_unroll=old_static.sub_unroll,
             )
         )
         self._build_jitted()

@@ -268,10 +268,14 @@ def radar_point_cov(points, params: IcpParams):
 
 def _p2p_tail(pose, src, target, valid, params):
     """Shared P2P solve step given correspondences (AlignCloudsLocal,
-    registration.cpp:15-66)."""
+    registration.cpp:15-66).
+
+    The Mahalanobis matrix is the identity here, so the generic
+    ``_accumulate_gn`` blocks collapse analytically — skew(p)skew(p) =
+    p p^T - |p|^2 I and skew(p) r = p x r — and no [K,3,3] tensor is ever
+    materialized: every reduction runs over [K] / [K,3] planes."""
     dtype = src.dtype
     matched = jnp.sum(valid)
-    maha = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (src.shape[0], 3, 3))
     inv_pose = lie.transform_inverse(pose)
     tgt_local = (
         jnp.einsum("ij,kj->ki", inv_pose[:3, :3], target, precision=_HI) + inv_pose[:3, 3]
@@ -280,7 +284,25 @@ def _p2p_tail(pose, src, target, valid, params):
     r2 = jnp.sum(r * r, axis=-1)
     th = params.max_search_dist
     w = th * th / (th + r2) ** 2
-    JTJ, JTr, _ = _accumulate_gn(src, target, maha, w, valid.astype(dtype), pose)
+    wv = w * valid.astype(dtype)                       # [K]
+    wp = wv[:, None] * src                             # [K,3]
+    sw = jnp.sum(wv)
+    swp = jnp.sum(wp, axis=0)                          # sum w p
+    ppT = jnp.einsum("kp,kq->pq", wp, src, precision=_HI)  # sum w p p^T
+    wp2 = jnp.trace(ppT)                               # sum w |p|^2
+    eye = jnp.eye(3, dtype=dtype)
+    S_swp = lie.skew(swp)
+    # JTJ blocks for J = [I | -S], M = w I (cpp:36-48):
+    #   tl =  sum w I          tr = -sum w S = -skew(sum w p)
+    #   bl =  sum w S          br = -sum w S S = sum w (|p|^2 I - p p^T)
+    JTJ = jnp.block([
+        [sw * eye, -S_swp],
+        [S_swp, wp2 * eye - ppT],
+    ])
+    JTr = jnp.concatenate([
+        jnp.sum(wv[:, None] * r, axis=0),              # sum w r
+        jnp.sum(jnp.cross(wp, r), axis=0),             # sum w p x r
+    ])
     fit_num = jnp.sum(jnp.where(valid, jnp.sqrt(r2), 0.0))
     return matched, JTJ, JTr, fit_num
 

@@ -95,6 +95,7 @@ def test_city_map_windowed_replay(tmp_path):
     total_bytes = sum(f.stat().st_size for f in map_dir.glob("*.npy"))
     assert total_bytes > 500e6, "city map should pack to hundreds of MB"
 
+    import jax
     import jax.numpy as jnp
     from elimaloc_tpu.config import ElimalocConfig, IcpMethod
     from elimaloc_tpu.map import TileQueryBudget, load_tile_map
@@ -120,10 +121,13 @@ def test_city_map_windowed_replay(tmp_path):
     import gc
 
     gc.collect()
-    rss0 = _vm_rss()
+    rss_pre = _vm_rss()
 
     host = load_tile_map(map_dir, mmap=True)
     assert isinstance(host.halo_points, np.memmap)
+    # opening the disk-backed store must not materialize it (the reference
+    # loads the entire PCD into RAM at startup, pcm_matching.cpp:69-79)
+    assert _vm_rss() - rss_pre < 0.05 * total_bytes, "mmap open resident"
 
     cfg = ElimalocConfig()
     cfg.pcm.icp_method = IcpMethod.P2P
@@ -142,7 +146,27 @@ def test_city_map_windowed_replay(tmp_path):
         ego_ring_size=256, imu_ring_size=128,
         map_window_radius=100.0,
     )
-    state, outs = pipe.run_frames(log)
+
+    # Force the one-time XLA compile of the fused frame BEFORE the RSS
+    # baseline: the retained compile arena scales with the PROGRAM (and with
+    # the backend — ~0.7 GB on CPU, where this test runs), not with the map,
+    # so it belongs to the baseline. What the windowing invariant bounds is
+    # the STEADY-SERVING growth measured below: window crops, prefetch
+    # double-buffering, swap traffic, and per-frame readbacks.
+    from elimaloc_tpu.pipeline.runtime import build_fused_batches
+
+    pipe._rebase(min(log.imu_t[0], log.scan_t[0]))
+    batches = jax.device_put(build_fused_batches(log, time_base=pipe.time_base))
+    warm_state, warm_out = pipe._frame_at(
+        pipe.reset(), batches, jnp.asarray(0, jnp.int32), pipe.map
+    )
+    np.asarray(warm_out["ego_pos"])  # block until compiled + executed
+    del warm_state, warm_out
+
+    gc.collect()
+    rss0 = _vm_rss()
+
+    state, outs = pipe.run_frames(log, batches=batches)
 
     assert float(np.asarray(outs["applied"]).mean()) == 1.0
     assert int(np.asarray(outs["slots_dropped"]).max()) == 0
@@ -150,22 +174,26 @@ def test_city_map_windowed_replay(tmp_path):
                    log.truth_t, log.truth_pos)
     assert ate < 0.2, f"city windowed ATE {ate}"
 
-    # the ~480 m arc must cross several windows, served by the prefetcher
+    # the ~480 m arc must cross several windows, served by the prefetcher —
+    # either outright (hit: adopt a finished crop) or by joining a crop that
+    # was already in flight (this 1-core host starves the worker, so joins
+    # are the common case); cold synchronous crops must stay rare
     stats = pipe.window_stats
     assert stats["swaps"] >= 2, stats
-    assert stats["prefetch_hits"] >= stats["sync_swaps"], stats
+    served = stats["prefetch_hits"] + stats["prefetch_joins"]
+    assert served >= stats["sync_swaps"] and served >= 2, stats
 
-    # steady-state retention: window-bounded, NOT map-bounded. Measured
-    # split: mmap load +0, one window ~55 MB, XLA CPU compile + runtime
-    # ~320 MB (constant, map-size-independent), swap traffic bounded by
-    # crop_window copies + dropped page cache (HostTileMap.drop_page_cache).
-    # A RAM load of this map would retain total_bytes BEFORE any windows,
-    # compile, or copies (the reference holds the whole PCD,
-    # pcm_matching.cpp:69-79); serving it windowed must stay clearly under
-    # that floor even WITH all runtime overhead included.
+    # Steady-serving retention: window-bounded, NOT map-bounded. The
+    # baseline above already includes the one-time compile arena, so this
+    # delta is exactly the windowing machinery's footprint over a full
+    # multi-swap drive: crop copies, prefetch double-buffering, dropped page
+    # cache (HostTileMap.drop_page_cache), per-frame readbacks. Measured
+    # ~0.2 GB on the 12M-point map — a RAM load would retain total_bytes
+    # (1.2 GB) before any of that (the reference holds the whole PCD,
+    # pcm_matching.cpp:69-79).
     gc.collect()
     rss1 = _vm_rss()
-    assert rss1 - rss0 < 0.9 * total_bytes, (
-        f"host RSS grew {(rss1 - rss0) / 1e6:.0f} MB vs map "
-        f"{total_bytes / 1e6:.0f} MB — mmap windowing is not bounding memory"
+    assert rss1 - rss0 < 0.5 * total_bytes, (
+        f"host RSS grew {(rss1 - rss0) / 1e6:.0f} MB during windowed serving "
+        f"vs map {total_bytes / 1e6:.0f} MB — windowing is not bounding memory"
     )
