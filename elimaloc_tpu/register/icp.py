@@ -364,6 +364,54 @@ def _voxcov_tail(pose, src_flat, cov_flat, mean_flat, valid_flat, params,
     return matched, JTJ, JTr, fit_num
 
 
+def _avg_voxcov_tail(pose, src, q_world, cov, mean, ok, params):
+    """AVGICP solve step with the 7-voxel axis reduced BEFORE the GN
+    accumulation (AlignCloudsLocalVoxelCov, cpp:154-225, fed with up to 7
+    pairs per point — cpp:349).
+
+    For a rotation R, ``(R^T C R)^-1 = R^T C^-1 R``, so each pair's weighted
+    Mahalanobis matrix ``w_i (R^T C_i R)^-1`` and its residual product can be
+    summed over the 7 candidate voxels in the WORLD frame first and
+    conjugated into the sensor frame once per point:
+
+        A_p = R^T (sum_i w_i C_i^-1) R
+        b_p = R^T  sum_i w_i C_i^-1 (mu_i - q)
+
+    These feed the same ``J = [I | -skew(p)]`` blocks as the flattened
+    7x-pair form — identical math (residual norms are rotation-invariant, so
+    the robust weights are unchanged; the identity needs no symmetry of C) —
+    but with ~7x less conjugation/accumulation work and no 7x repeat of the
+    source tensor. NOT valid with ``use_radar_cov``: the additive radar term
+    inside the inverse breaks the conjugation identity, so that path keeps
+    the flattened ``_voxcov_tail``.
+    """
+    matched = jnp.sum(ok)
+    d = mean - q_world[:, None, :]                       # [K,7,3] world frame
+    r2 = jnp.sum(d * d, axis=-1)                         # [K,7]
+    th = params.max_search_dist
+    w = th * th / (th + r2) ** 2
+    keep = ok & (w >= 0.01)  # weight cutoff (cpp:199-201)
+    wk = jnp.where(keep, w, 0.0)
+    cinv = _inv3x3(cov)                                  # [K,7,3,3]
+    P = jnp.einsum("ko,koij->kij", wk, cinv, precision=_HI)
+    bw = jnp.einsum("ko,koij,koj->ki", wk, cinv, d, precision=_HI)
+    rot = pose[:3, :3]
+    A = jnp.einsum("ji,kjl,lm->kim", rot, P, rot, precision=_HI)   # R^T P R
+    b = jnp.einsum("ji,kj->ki", rot, bw, precision=_HI)            # R^T bw
+    S = lie.skew(src)                                    # [K,3,3]
+    AS = jnp.einsum("kij,kjl->kil", A, S, precision=_HI)
+    tl = jnp.sum(A, axis=0)
+    tr = -jnp.sum(AS, axis=0)
+    bl = jnp.einsum("kij,kjl->il", S, A, precision=_HI)
+    br = -jnp.einsum("kij,kjl->il", S, AS, precision=_HI)
+    jtr_top = jnp.sum(b, axis=0)
+    jtr_bot = jnp.einsum("kij,kj->i", S, b, precision=_HI)
+    JTJ = jnp.block([[tl, tr], [bl, br]])
+    JTr = jnp.concatenate([jtr_top, jtr_bot])
+    fit_num = jnp.sum(jnp.where(keep, jnp.sqrt(r2), 0.0))
+    return matched, JTJ, JTr, fit_num
+
+
 def _iteration(pose, src_local, src_valid, grid, params, static, radar_cov):
     """One RunRegister loop body (hash-grid backend): correspondence ->
     (matched, JTJ, JTr, fit_num) for the configured method."""
@@ -398,11 +446,12 @@ def _iteration(pose, src_local, src_valid, grid, params, static, radar_cov):
         grid, src_global, params.max_search_dist
     )
     valid = valid & src_valid[:, None]
+    if not static.use_radar_cov:
+        return _avg_voxcov_tail(pose, src_local, src_global, cov, mean,
+                                valid, params)
     n, k = valid.shape
     src_flat = jnp.repeat(src_local, k, axis=0)
-    radar_flat = (
-        jnp.repeat(radar_cov, k, axis=0) if radar_cov is not None else None
-    )
+    radar_flat = jnp.repeat(radar_cov, k, axis=0)
     return _voxcov_tail(
         pose, src_flat, cov.reshape(n * k, 3, 3), mean.reshape(n * k, 3),
         valid.reshape(n * k), params, static, radar_flat,
@@ -455,12 +504,12 @@ def _iteration_slots_flat(pose, sbuf, asg, tmap, params, static, radar_sbuf):
         tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
         params.max_search_dist, budget,
     )
+    if not static.use_radar_cov:
+        return _avg_voxcov_tail(pose, src_flat, fl(qbuf), fl(cov), fl(mean),
+                                fl(ok), params)
     k = 7
     src7 = jnp.repeat(src_flat, k, axis=0)
-    radar7 = (
-        jnp.repeat(fl(radar_sbuf), k, axis=0)
-        if radar_sbuf is not None else None
-    )
+    radar7 = jnp.repeat(fl(radar_sbuf), k, axis=0)
     return _voxcov_tail(
         pose, src7, fl(cov).reshape(-1, 3, 3), fl(mean).reshape(-1, 3),
         fl(ok).reshape(-1), params, static, radar7,

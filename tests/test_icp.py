@@ -90,6 +90,43 @@ class TestGnStep:
         T = np.asarray(_step_transform(x))
         np.testing.assert_allclose(T, T_o, atol=1e-9)
 
+    def test_avg_voxcov_tail_matches_flattened_pairs(self):
+        """The 7-axis pre-reduced AVGICP tail must produce the same
+        (matched, JTJ, JTr, fit) as flattening the (point, voxel) pairs
+        through the generic ``_voxcov_tail`` — the conjugation identity
+        (R^T C R)^-1 = R^T C^-1 R makes them algebraically equal."""
+        from elimaloc_tpu.register.icp import _avg_voxcov_tail, _voxcov_tail
+
+        class _NoRadar:
+            use_radar_cov = False
+
+        k, pose = 64, pose_xyzyaw(1.0, -2.0, 0.3, 0.4)
+        src = RNG.normal(size=(k, 3)) * 5
+        q = src @ pose[:3, :3].T + pose[:3, 3]
+        mean = q[:, None, :] + RNG.normal(0, 0.4, (k, 7, 3))
+        # SPD-ish but deliberately asymmetric covariances (the builder's
+        # SVD-regularized covs are asymmetric at degenerate spectra)
+        b = RNG.normal(0, 0.3, (k, 7, 3, 3))
+        cov = np.einsum("koij,kolj->koil", b, b) + 0.05 * np.eye(3)
+        cov += RNG.normal(0, 1e-3, cov.shape)
+        ok = RNG.random((k, 7)) < 0.8
+        params = make_icp_params(PcmConfig(max_search_dist=5.0),
+                                 dtype=jnp.float64)
+
+        got = _avg_voxcov_tail(
+            jnp.asarray(pose), jnp.asarray(src), jnp.asarray(q),
+            jnp.asarray(cov), jnp.asarray(mean), jnp.asarray(ok), params,
+        )
+        want = _voxcov_tail(
+            jnp.asarray(pose), jnp.asarray(np.repeat(src, 7, axis=0)),
+            jnp.asarray(cov.reshape(-1, 3, 3)),
+            jnp.asarray(mean.reshape(-1, 3)), jnp.asarray(ok.reshape(-1)),
+            params, _NoRadar, None,
+        )
+        for g, w, tol in zip(got, want, (0, 1e-9, 1e-9, 1e-9)):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                       rtol=1e-9, atol=tol)
+
     def test_masked_rows_do_not_contribute(self):
         n = 20
         src = RNG.normal(size=(n, 3))
