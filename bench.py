@@ -19,6 +19,52 @@ import os
 import sys
 import time
 
+
+def _wait_for_device(attempts: int = 5, probe_timeout_s: int = 300,
+                     pause_s: int = 120) -> None:
+    """Gate the bench on TPU availability. The shared axon relay flaps; a
+    failed PJRT init poisons the process (no in-process retry), so probe
+    device init in a THROWAWAY subprocess first and only fall through to the
+    real imports once a probe succeeds. Must run BEFORE the elimaloc_tpu
+    imports below — their module-level jnp constants initialize the backend,
+    and a dead relay would hang this process right there. A dead relay
+    either hangs the probe (killed at probe_timeout_s) or errors after its
+    own long internal timeout; both count as one failed attempt. Exhausting
+    every attempt raises — no JSON line is printed for a machine failure, a
+    wrong number would be worse than none."""
+    import subprocess
+
+    if os.environ.get("BENCH_NO_DEVICE_GATE"):
+        return
+    probe = "import jax; print(jax.devices()[0])"
+    last = None
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                return
+            last = (r.stderr or "").strip().splitlines()[-1:]
+        except subprocess.TimeoutExpired:
+            last = [f"device init still hung after {probe_timeout_s}s"]
+        print(
+            f"bench: device probe {i + 1}/{attempts} failed"
+            + (f" ({last[0]})" if last else ""),
+            file=sys.stderr, flush=True,
+        )
+        if i + 1 < attempts:
+            time.sleep(pause_s)
+    raise RuntimeError(
+        f"TPU device init failed {attempts} times — relay down? "
+        + (last[0] if last else "")
+    )
+
+
+if __name__ == "__main__":
+    _wait_for_device()
+
 import numpy as np
 
 import jax
