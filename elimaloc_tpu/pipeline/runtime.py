@@ -840,6 +840,13 @@ class LocalizationPipeline:
                 self.window_stats[key] += 1
                 adopted = True
         if not adopted:
+            if pf is not None and not pf["done"].is_set():
+                # A stale in-flight crop (anchor drifted beyond slack) must
+                # not run CONCURRENTLY with the synchronous crop below — on a
+                # starved host two full crops would compete for the core and
+                # evict each other's page cache at exactly the swap-hiccup
+                # moment. Drain it first, then crop.
+                pf["done"].wait()
             self._set_window(pos)
             self.window_stats["sync_swaps"] += 1
         self._prefetch = None
@@ -888,15 +895,13 @@ class LocalizationPipeline:
         self.cfg = cfg
         old_static = self.static
         self.params = make_pipeline_params(cfg, dtype=self.dtype)
-        self.static = dataclasses.replace(
-            make_pipeline_static(
-                cfg,
-                backend=old_static.icp_static.backend,
-                tile_budget=old_static.icp_static.tile_budget,
-                ds_points=old_static.ds_points,
-                bug_compat_deskew_z=old_static.bug_compat_deskew_z,
-                sub_unroll=old_static.sub_unroll,
-            )
+        self.static = make_pipeline_static(
+            cfg,
+            backend=old_static.icp_static.backend,
+            tile_budget=old_static.icp_static.tile_budget,
+            ds_points=old_static.ds_points,
+            bug_compat_deskew_z=old_static.bug_compat_deskew_z,
+            sub_unroll=old_static.sub_unroll,
         )
         self._build_jitted()
 
