@@ -362,6 +362,7 @@ def bench_icp_batched(pipe, log, batch=8):
 
     t0_log = float(log.imu_t[0])
     scans, inits = [], []
+    batch = min(batch, len(log.scan_t) - 2)  # short BENCH_SCANS smoke runs
     for k in range(2, 2 + batch):
         pts = jnp.asarray(log.scan_points[k], jnp.float32)
         v = jnp.asarray(log.scan_valid[k])
