@@ -1,0 +1,178 @@
+"""A/B: hoist the loop-invariant candidate tensors out of the ICP loop?
+
+Every Gauss-Newton iteration re-reads the per-slot halo candidates
+(`tmap.halo_points[tid]`, a vmapped dynamic row gather) and re-derives
+finite/cvox/tile-local candidates from them — all loop-INVARIANT (the
+slot->tile assignment is hoisted; only the query side moves with the pose).
+Reference analog: the kd-tree/hash lookups in RunRegister
+(registration.cpp:307-347) are also per-iteration, but on TPU the candidate
+fetch is streamable and could be staged once per registration.
+
+Variants (P2P, fixed 8 iterations, bench shapes):
+  A  in-loop gather + derive (current `nearest_point_slots`)
+  B  hoisted [S,MHP,3] candidate slab; derive finite/cvox/local in loop
+  C  hoisted slab + pre-derived finite/cvox/local planes (trade HBM reads
+     for VPU work)
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/profile_iterhoist.py
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+import bench  # noqa: E402
+from elimaloc_tpu.map import tiles as T
+from elimaloc_tpu.map.grid import voxel_downsample
+from elimaloc_tpu.ops import lie
+from elimaloc_tpu.pipeline.log import _traj
+from elimaloc_tpu.register import icp as icp_mod
+
+_HI = jax.lax.Precision.HIGHEST
+RTT = 0.035
+R = 20
+ITERS = 8
+
+
+def timeit(fn, *args):
+    def loop(*a):
+        def body(i, c):
+            r = fn(a[0] + c * 0.0, *a[1:])
+            first = jax.tree_util.tree_leaves(r)[0]
+            return c + jnp.sum(first.astype(jnp.float32)) * 1e-12
+        return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+    f = jax.jit(loop)
+    float(f(*args))
+    best = np.inf
+    for _ in range(3):
+        t0 = time.time()
+        float(f(*args))
+        best = min(best, (time.time() - t0 - RTT) / R)
+    return best * 1e3
+
+
+def main():
+    pipe, log = bench.build_everything()
+    st = pipe.static.icp_static
+    budget = st.tile_budget
+    params = pipe.params.icp
+    tmap = pipe.map
+    mhp = tmap.halo_points.shape[1]
+
+    k = len(log.scan_t) - 2
+    pts = jnp.asarray(log.scan_points[k])
+    val = jnp.asarray(log.scan_valid[k])
+    dsp, dsv, kept = jax.jit(
+        lambda p, v: voxel_downsample(p, v, 1.5, pipe.static.ds_points)
+    )(pts, val)
+    pose_t, yaw, _, _, _ = _traj(
+        np.array([float(log.scan_t[k]) - float(log.imu_t[0])]))
+    init = np.eye(4, dtype=np.float32)
+    c_, s_ = np.cos(yaw[0]), np.sin(yaw[0])
+    init[:2, :2] = [[c_, -s_], [s_, c_]]
+    init[:3, 3] = pose_t[0] + [0.1, -0.05, 0.01]
+    init = jnp.asarray(init)
+
+    asg = jax.jit(lambda p, v: T.assign_slots(
+        tmap, jnp.einsum("ij,kj->ki", init[:3, :3], p) + init[:3, 3],
+        v, budget))(dsp, dsv)
+    n = dsp.shape[0]
+    safe_idx = jnp.minimum(asg.qidx, n - 1)
+    sbuf = jnp.where(asg.qmask[..., None], dsp[safe_idx], 0.0)
+    md = params.max_search_dist
+    print(f"ds={int(kept)} qb={budget.qb} slots={budget.max_slots} "
+          f"MHP={mhp} chunk={budget.chunk} iters={ITERS}", flush=True)
+
+    def loop_with(corr):
+        """Fixed-ITERS GN loop: pose -> pose (P2P)."""
+        def run(pose0, sbuf_):
+            def body(i, pose):
+                qbuf = (jnp.einsum("ij,sqj->sqi", pose[:3, :3], sbuf_,
+                                   precision=_HI) + pose[:3, 3])
+                qvox = jnp.floor(qbuf / tmap.voxel_size).astype(jnp.int32)
+                tgt, ok = corr(qbuf, qvox)
+                fl = lambda x: x.reshape((-1,) + x.shape[2:])
+                _, JTJ, JTr, _ = icp_mod._p2p_tail(
+                    pose, fl(sbuf_), fl(tgt), fl(ok), params)
+                x, _ = icp_mod._solve_step(JTJ, JTr, params.lm_lambda)
+                return lie.compose(pose, icp_mod._step_transform(x))
+            return jax.lax.fori_loop(0, ITERS, body, pose0)
+        return run
+
+    # --- A: current in-loop path -------------------------------------- #
+    corr_a = lambda qbuf, qvox: T.nearest_point_slots(
+        tmap, asg.slot_tile, qbuf, qvox, asg.qmask, md, budget)
+    run_a = loop_with(corr_a)
+    pose_a = jax.jit(run_a)(init, sbuf)
+    t_a = timeit(run_a, init, sbuf)
+
+    # --- hoisted candidate slab --------------------------------------- #
+    centers = T._slot_centers(tmap, asg.slot_tile, jnp.float32)
+    cand = tmap.halo_points[asg.slot_tile]                 # [S,MHP,3]
+    finite = jnp.isfinite(cand[..., 0])
+    cand_safe = jnp.where(finite[..., None], cand, 0.0)
+    cvox = jnp.floor(cand_safe / tmap.voxel_size).astype(jnp.int32)
+    cl = jnp.where(finite[..., None], cand_safe - centers[:, None, :], 0.0)
+
+    def per_slot_b(args):
+        q, qv, qm, cnd, ctr = args
+        fin = jnp.isfinite(cnd[:, 0])
+        cs = jnp.where(fin[:, None], cnd, 0.0)
+        cv = jnp.floor(cs / tmap.voxel_size).astype(jnp.int32)
+        cube = T._cube_mask(qv, cv) & fin[None, :]
+        ql = q - ctr
+        cll = jnp.where(fin[:, None], cs - ctr, 0.0)
+        diff = ql[:, None, :] - cll[None, :, :]
+        d2 = jnp.where(cube, jnp.sum(diff * diff, axis=-1), jnp.inf)
+        best = jnp.argmin(d2, axis=1)
+        ok = qm & (jnp.min(d2, axis=1) < md * md)
+        onehot = (jnp.arange(mhp, dtype=jnp.int32)[None, :]
+                  == best[:, None]).astype(q.dtype)
+        tgt = jnp.where(ok[:, None],
+                        jnp.matmul(onehot, cs, precision=_HI), q)
+        return tgt, ok
+
+    corr_b = lambda qbuf, qvox: T._chunked(
+        per_slot_b, (qbuf, qvox, asg.qmask, cand, centers), budget.chunk)
+    run_b = loop_with(corr_b)
+    pose_b = jax.jit(run_b)(init, sbuf)
+    t_b = timeit(run_b, init, sbuf)
+
+    # --- C: everything pre-derived ------------------------------------ #
+    def per_slot_c(args):
+        q, qv, qm, cs, cv, fin, cll, ctr = args
+        cube = T._cube_mask(qv, cv) & fin[None, :]
+        ql = q - ctr
+        diff = ql[:, None, :] - cll[None, :, :]
+        d2 = jnp.where(cube, jnp.sum(diff * diff, axis=-1), jnp.inf)
+        best = jnp.argmin(d2, axis=1)
+        ok = qm & (jnp.min(d2, axis=1) < md * md)
+        onehot = (jnp.arange(mhp, dtype=jnp.int32)[None, :]
+                  == best[:, None]).astype(q.dtype)
+        tgt = jnp.where(ok[:, None],
+                        jnp.matmul(onehot, cs, precision=_HI), q)
+        return tgt, ok
+
+    corr_c = lambda qbuf, qvox: T._chunked(
+        per_slot_c,
+        (qbuf, qvox, asg.qmask, cand_safe, cvox, finite, cl, centers),
+        budget.chunk)
+    run_c = loop_with(corr_c)
+    pose_c = jax.jit(run_c)(init, sbuf)
+    t_c = timeit(run_c, init, sbuf)
+
+    da = float(jnp.max(jnp.abs(pose_b - pose_a)))
+    dc = float(jnp.max(jnp.abs(pose_c - pose_a)))
+    print(f"A in-loop gather+derive : {t_a:7.3f} ms / {ITERS} iters "
+          f"({t_a/ITERS:.3f} ms/iter)")
+    print(f"B hoisted slab          : {t_b:7.3f} ms ({t_b/ITERS:.3f} ms/iter)"
+          f"  max|pose-A|={da:.2e}")
+    print(f"C slab+derived planes   : {t_c:7.3f} ms ({t_c/ITERS:.3f} ms/iter)"
+          f"  max|pose-A|={dc:.2e}")
+
+
+if __name__ == "__main__":
+    main()
