@@ -441,12 +441,47 @@ def bench_cpu_numpy(pipe, log):
     return 1.0 / float(np.min(times))
 
 
-def bench_cpu_native(pipe, log):
-    """Single-core native C++ scan step (same packed map, same math)."""
+def _ensure_native():
+    """Load the native C++ module, BUILDING it first if absent.
+
+    The .so is untracked (CLAUDE.md: native code auto-falls back to NumPy),
+    so a fresh driver checkout has none — and without it the headline
+    ``vs_baseline`` degrades to the NumPy strawman BASELINE.md disavows.
+    ``make -C native`` takes seconds; a failed build degrades loudly."""
+    import subprocess
+
     from elimaloc_tpu.map import native_builder
 
     nb = native_builder.maybe_load()
+    if nb is not None and getattr(nb, "_has_scan_step", False):
+        return nb
+    makedir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "native")
+    try:
+        r = subprocess.run(
+            ["make", "-C", makedir], capture_output=True, text=True,
+            timeout=300,
+        )
+    except Exception as e:  # noqa: BLE001 — degrade to NumPy, loudly
+        print(f"WARNING: native build failed to launch: {e}", file=sys.stderr)
+        return None
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-3:]
+        print("WARNING: native build failed: " + " | ".join(tail),
+              file=sys.stderr)
+        return None
+    nb = native_builder.maybe_load(force_recheck=True)
     if nb is None or not getattr(nb, "_has_scan_step", False):
+        print("WARNING: native build succeeded but the module did not load",
+              file=sys.stderr)
+        return None
+    return nb
+
+
+def bench_cpu_native(pipe, log):
+    """Single-core native C++ scan step (same packed map, same math)."""
+    nb = _ensure_native()
+    if nb is None:
         return None
     times = []
     for k in range(2, 2 + CPU_SCANS):
@@ -518,6 +553,14 @@ def bench_methods():
             "oracle_parity_ate_m": round(parity, 4),
             "applied": round(float(np.asarray(outs["applied"]).mean()), 3),
         }
+        if full_fusion:
+            # The fusion row's closed-loop ATE is dominated by the synthetic
+            # GPS noise, not by TPU numerics (oracle parity is mm-scale). The
+            # f64 oracle's OWN ATE on the same noisy-GPS log is the noise
+            # floor the TPU number must be judged against (VERDICT r3 #7).
+            floor = ate_rmse(ctraj["t"], ctraj["pos"],
+                             log.truth_t, log.truth_pos)
+            out[name]["gps_noise_floor_ate_m"] = round(floor, 4)
     return out
 
 
@@ -552,20 +595,92 @@ def bench_fleet(pipe, log, lanes=8):
     return lanes * n / dt
 
 
-def _guard(label, fn, default):
+# Error signatures of a relay/TPU-worker fault. Only these get a retry (a
+# deterministic phase failure reproduces on attempt 2 and just doubles the
+# wasted wall-clock), and only these latch the poisoned-client flag.
+_TRANSIENT_PATTERNS = (
+    "worker process crashed", "unavailable", "restarted", "deadline",
+    "socket closed", "connection reset",
+)
+# Once a phase exhausts its retry on a relay/worker fault, the PJRT client
+# is poisoned — there is no in-process recovery — so every remaining
+# in-process TPU phase would burn up to the relay's ~15-min internal timeout
+# per attempt before failing the same way. Latch and short-circuit.
+_client_poisoned = False
+
+
+def _guard(label, fn, default, tpu: bool = True):
     """Run an OPTIONAL bench phase; degrade to ``default`` instead of killing
     the one-JSON-line contract. The shared axon relay can drop the TPU worker
     mid-run (observed 2026-08-18: `TPU worker process crashed or restarted`
     during the fleet phase right after a relay outage); one retry covers the
-    transient case, a second failure reports null fields."""
+    transient case, deterministic failures fall straight through, and a
+    relay fault that survives the retry poisons the client for all remaining
+    TPU phases (crash-PRONE phases run in subprocesses instead — see
+    _phase_in_subprocess)."""
+    global _client_poisoned
+    if tpu and _client_poisoned:
+        print(f"WARNING: bench phase {label!r} skipped: TPU client poisoned "
+              "by an earlier relay fault", file=sys.stderr)
+        return default
     for attempt in (1, 2):
         try:
             return fn()
         except Exception as e:  # noqa: BLE001 — any phase fault degrades
+            msg = f"{type(e).__name__}: {e}"
             print(f"WARNING: bench phase {label!r} failed "
-                  f"(attempt {attempt}): {type(e).__name__}: {e}",
-                  file=sys.stderr)
+                  f"(attempt {attempt}): {msg}", file=sys.stderr)
+            transient = any(p in msg.lower() for p in _TRANSIENT_PATTERNS)
+            if not transient:
+                return default
+            if attempt == 2 and tpu:
+                _client_poisoned = True
     return default
+
+
+def _phase_in_subprocess(phase: str, timeout_s: int = 2400):
+    """Run a crash-prone TPU phase in a FRESH process and parse its one JSON
+    line. A TPU-worker crash poisons the parent's PJRT client with no
+    in-process recovery, so isolation is the only way to both attempt the
+    phase and survive it (round-3 official bench: the in-process fleet
+    attempt crashed the worker twice and recorded null). The child re-execs
+    this script with BENCH_PHASE set; builds are deterministic (fixed
+    seeds), so its pipe/log match the parent's."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_PHASE=phase)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"WARNING: bench subprocess phase {phase!r} timed out "
+              f"({timeout_s}s)", file=sys.stderr)
+        return None
+    if r.stderr:
+        sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        print(f"WARNING: bench subprocess phase {phase!r} exited "
+              f"{r.returncode}", file=sys.stderr)
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    print(f"WARNING: bench subprocess phase {phase!r} printed no JSON",
+          file=sys.stderr)
+    return None
+
+
+def _run_phase(phase: str) -> None:
+    """BENCH_PHASE child entry: run one phase, print one JSON line."""
+    if phase == "fleet":
+        pipe, log = build_everything()
+        print(json.dumps({"fleet8_scans_per_s": bench_fleet(pipe, log)}))
+    else:
+        raise SystemExit(f"unknown BENCH_PHASE {phase!r}")
 
 
 def _rnd(v, nd=2):
@@ -583,13 +698,21 @@ def main():
     icp_sps = _guard("icp_batched", lambda: bench_icp_batched(pipe, log), None)
     ekf_sps = _guard("ekf", lambda: bench_ekf_steps(pipe), None)
     methods = {} if SKIP_METHODS else _guard("methods", bench_methods, {})
-    # fleet goes LAST among the TPU phases: a relay-side worker crash poisons
-    # the whole client process (no in-process PJRT recovery), and the big
-    # 8-lane vmapped program is the phase most likely to trip a flaky relay
-    # (observed 2026-08-18, twice) — if it dies here, only its own fields
-    # degrade to null.
-    fleet_sps = _guard("fleet", lambda: bench_fleet(pipe, log), None)
-    cpu_native_sps = bench_cpu_native(pipe, log)
+    # fleet runs in an ISOLATED SUBPROCESS: the big 8-lane vmapped program is
+    # the phase most likely to trip a flaky relay (observed 2026-08-18,
+    # twice in the round-3 official capture), and a relay-side worker crash
+    # poisons the whole client process with no in-process PJRT recovery — a
+    # child process can crash without taking the parent's remaining phases
+    # (or the JSON line) with it. Costs one extra deterministic
+    # build_everything + compile; that is the price of a non-null record.
+    fleet_res = _phase_in_subprocess("fleet")
+    if fleet_res is None:
+        # one retry: the observed crash mode is relay-state-dependent and a
+        # fresh child gets a fresh PJRT client
+        fleet_res = _phase_in_subprocess("fleet")
+    fleet_sps = (fleet_res or {}).get("fleet8_scans_per_s")
+    cpu_native_sps = _guard("cpu_native", lambda: bench_cpu_native(pipe, log),
+                            None, tpu=False)
     cpu_numpy_sps = bench_cpu_numpy(pipe, log)
     baseline = cpu_native_sps if cpu_native_sps else cpu_numpy_sps
     print(
@@ -649,4 +772,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _PHASE = os.environ.get("BENCH_PHASE")
+    if _PHASE:
+        _run_phase(_PHASE)
+    else:
+        main()

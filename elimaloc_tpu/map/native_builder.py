@@ -27,12 +27,17 @@ def _candidate_paths():
         yield os.path.join(root, name)
 
 
-def maybe_load():
-    """Return the native module wrapper or None if the .so isn't built."""
+def maybe_load(force_recheck: bool = False):
+    """Return the native module wrapper or None if the .so isn't built.
+
+    ``force_recheck`` drops the cached miss and probes the filesystem again —
+    for callers that just built the .so themselves (bench.py auto-builds the
+    native baseline when the driver environment ships without one)."""
     global _lib, _checked
-    if _checked:
+    if _checked and not force_recheck:
         return _lib
     _checked = True
+    _lib = None
     for path in _candidate_paths():
         if os.path.exists(path):
             try:

@@ -207,33 +207,3 @@ def test_live_viz_updates_midrun(tmp_path):
     html = path.read_text()
     assert 'http-equiv="refresh"' not in html
     assert "ICP fitness" in html
-
-
-def test_bench_phase_guard(capsys):
-    """bench._guard degrades an optional phase fault to its default (the
-    one-JSON-line contract must survive a mid-run relay fault) and retries
-    once for the transient case; bench._rnd passes None through."""
-    import sys as _sys
-    _sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
-    import bench
-
-    calls = {"n": 0}
-
-    def flaky():
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("TPU worker process crashed or restarted")
-        return 42.0
-
-    assert bench._guard("flaky", flaky, None) == 42.0  # retry recovers
-    assert calls["n"] == 2
-
-    def dead():
-        raise RuntimeError("still down")
-
-    assert bench._guard("dead", dead, (None, None)) == (None, None)
-    err = capsys.readouterr().err
-    assert "bench phase 'dead' failed (attempt 2)" in err
-
-    assert bench._rnd(None) is None
-    assert bench._rnd(1.2345, 2) == 1.23
