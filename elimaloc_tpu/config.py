@@ -153,6 +153,15 @@ class PcmConfig:
     max_search_dist: float = 5.0
     lm_lambda: float = 0.5
     icp_termination_threshold_m: float = 0.02
+    # TPU extension (no reference analog — the reference re-searches every
+    # GN iteration, registration.cpp:310-347): when > 0, correspondences
+    # found at one iteration are REUSED until the accumulated pose motion
+    # (translation + rotation x scan radius) exceeds this bound, then
+    # refreshed. 0 preserves exact reference behavior. At the default 0.02 m
+    # termination the 27-voxel winners are nearly static after iteration 1,
+    # so 0.5 (half the default pcm voxel) trades ~zero trajectory change for
+    # ~2x fewer correspondence passes (A/B in docs/BENCH_NOTES.md).
+    corr_refresh_dist_m: float = 0.0
     min_overlap_ratio: float = 0.4
     max_fitness_score: float = 0.5
 
@@ -279,6 +288,7 @@ def load_localization_ini(path: str, cfg: Optional[ElimalocConfig] = None) -> El
     p.max_search_dist = _get(cp, "pcm_matching", "max_search_dist", float, p.max_search_dist)
     p.lm_lambda = _get(cp, "pcm_matching", "lm_lambda", float, p.lm_lambda)
     p.icp_termination_threshold_m = _get(cp, "pcm_matching", "icp_termination_threshold_m", float, p.icp_termination_threshold_m)
+    p.corr_refresh_dist_m = _get(cp, "pcm_matching", "corr_refresh_dist_m", float, p.corr_refresh_dist_m)
     p.min_overlap_ratio = _get(cp, "pcm_matching", "min_overlap_ratio", float, p.min_overlap_ratio)
     p.max_fitness_score = _get(cp, "pcm_matching", "max_fitness_score", float, p.max_fitness_score)
     p.use_radar_cov = _get(cp, "pcm_matching", "use_radar_cov", bool, p.use_radar_cov)
@@ -418,6 +428,7 @@ def export_ini(cfg: ElimalocConfig, path: str) -> None:
         "max_search_dist": repr(p.max_search_dist),
         "lm_lambda": repr(p.lm_lambda),
         "icp_termination_threshold_m": repr(p.icp_termination_threshold_m),
+        "corr_refresh_dist_m": repr(p.corr_refresh_dist_m),
         "min_overlap_ratio": repr(p.min_overlap_ratio),
         "max_fitness_score": repr(p.max_fitness_score),
         "use_radar_cov": str(int(p.use_radar_cov)),

@@ -59,6 +59,9 @@ class IcpParams:
     range_variance_m: jnp.ndarray
     azimuth_variance_deg: jnp.ndarray
     elevation_variance_deg: jnp.ndarray
+    # correspondence-reuse bound (TPU extension, PcmConfig.corr_refresh_dist_m
+    # — 0 re-searches every iteration like the reference, cpp:310-347)
+    corr_refresh_dist: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +79,13 @@ class IcpStatic:
     max_iteration: int = 10
     use_radar_cov: bool = False
     backend: str = "tile"
+    # Compile-time gate for the correspondence-reuse loop (tile backend):
+    # when False (the default, corr_refresh_dist_m == 0) the while body is
+    # the plain search+solve dataflow with NO match carry — the lax.cond
+    # boundary and the per-iteration carry copy of the match tensors cost
+    # ~30% fused throughput (measured on v5e), so reference behavior must
+    # not pay for the feature.
+    corr_reuse: bool = False
     tile_budget: maptiles.TileQueryBudget = maptiles.TileQueryBudget()
     # When set, the source-point axis is sharded across this mesh axis:
     # per-device partial (matched, JTJ, JTr, fitness numerator, valid count)
@@ -105,6 +115,7 @@ def make_icp_params(cfg: PcmConfig, dtype=jnp.float32) -> IcpParams:
         range_variance_m=f(cfg.range_variance_m),
         azimuth_variance_deg=f(cfg.azimuth_variance_deg),
         elevation_variance_deg=f(cfg.elevation_variance_deg),
+        corr_refresh_dist=f(cfg.corr_refresh_dist_m),
     )
 
 
@@ -115,6 +126,7 @@ def make_icp_static(cfg: PcmConfig, backend: str = "tile",
         max_iteration=int(cfg.max_iteration),
         use_radar_cov=bool(cfg.use_radar_cov),
         backend=backend,
+        corr_reuse=float(cfg.corr_refresh_dist_m) > 0.0,
         tile_budget=tile_budget or maptiles.TileQueryBudget(),
     )
 
@@ -458,13 +470,18 @@ def _iteration(pose, src_local, src_valid, grid, params, static, radar_cov):
     )
 
 
-def _iteration_slots_flat(pose, sbuf, asg, tmap, params, static, radar_sbuf):
-    """One RunRegister loop body on the SLOT layout with no scatter back:
-    the Gauss-Newton tails run over the flattened [S*QB] slot rows (masked).
-    Used when ``slot_shard_axis`` is set — each device holds a pre-sliced
-    slot range (``sbuf``/``asg`` already local) and its partial sums are
-    psum'd by the caller. The GN reduction is permutation-invariant, so the
-    missing scatter changes nothing but f32 summation order."""
+def _fl(x):
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _search_slots(pose, sbuf, asg, tmap, params, static):
+    """Correspondence search on the SLOT layout at ``pose`` — the expensive
+    half of a RunRegister iteration (halo-row DMA + dense [QB, MH] distance
+    + one-hot selection). Returns a method-specific flat match pytree that
+    :func:`_tails_from_matches` turns into GN partials; the split exists so
+    the while-loop can REUSE matches across iterations
+    (PcmConfig.corr_refresh_dist_m) instead of re-searching every time like
+    the reference (registration.cpp:310-347)."""
     budget = static.tile_budget
     method = static.method
     qbuf = (
@@ -472,47 +489,74 @@ def _iteration_slots_flat(pose, sbuf, asg, tmap, params, static, radar_sbuf):
         + pose[:3, 3]
     )
     qvox = jnp.floor(qbuf / tmap.voxel_size).astype(jnp.int32)
-    fl = lambda x: x.reshape((-1,) + x.shape[2:])
-    src_flat = fl(sbuf)
 
     if method == int(IcpMethod.P2P):
         tgt, ok = maptiles.nearest_point_slots(
             tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
             params.max_search_dist, budget,
         )
-        return _p2p_tail(pose, src_flat, fl(tgt), fl(ok), params)
+        return {"tgt": _fl(tgt), "ok": _fl(ok)}
 
     if method == int(IcpMethod.GICP):
         _, ok, cov, cov_mean = maptiles.nearest_point_slots(
             tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
             params.max_search_dist, budget, with_point_cov=True,
         )
-        return _gicp_tail(pose, src_flat, fl(cov), fl(cov_mean), fl(ok),
-                          params, static, fl(radar_sbuf) if radar_sbuf is not None else None)
+        return {"cov": _fl(cov), "mean": _fl(cov_mean), "ok": _fl(ok)}
 
     if method == int(IcpMethod.VGICP):
         cov, mean, ok = maptiles.nearest_voxel_cov_slots(
             tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
             params.max_search_dist, budget,
         )
-        return _voxcov_tail(pose, src_flat, fl(cov), fl(mean), fl(ok),
-                            params, static,
-                            fl(radar_sbuf) if radar_sbuf is not None else None)
+        return {"cov": _fl(cov), "mean": _fl(mean), "ok": _fl(ok)}
 
     # AVGICP: up to 7 (point, voxel) pairs per slot row
     cov, mean, ok = maptiles.all_voxel_cov_slots(
         tmap, asg.slot_tile, qbuf, qvox, asg.qmask,
         params.max_search_dist, budget,
     )
+    return {"cov": _fl(cov), "mean": _fl(mean), "ok": _fl(ok)}
+
+
+def _tails_from_matches(pose, sbuf, matches, params, static, radar_sbuf):
+    """The cheap half of a RunRegister iteration: GN partials over the
+    flattened [S*QB] slot rows (masked) given already-found matches. The GN
+    reduction is permutation-invariant, so no scatter back to query order is
+    ever needed. Match targets/covs are fixed world(-window) geometry —
+    evaluating them under a newer pose than the one they were searched at is
+    the standard lazy-matching ICP approximation."""
+    method = static.method
+    src_flat = _fl(sbuf)
+    radar_flat = None if radar_sbuf is None else _fl(radar_sbuf)
+
+    if method == int(IcpMethod.P2P):
+        return _p2p_tail(pose, src_flat, matches["tgt"], matches["ok"],
+                         params)
+
+    if method == int(IcpMethod.GICP):
+        return _gicp_tail(pose, src_flat, matches["cov"], matches["mean"],
+                          matches["ok"], params, static, radar_flat)
+
+    if method == int(IcpMethod.VGICP):
+        return _voxcov_tail(pose, src_flat, matches["cov"], matches["mean"],
+                            matches["ok"], params, static, radar_flat)
+
+    # AVGICP
+    cov, mean, ok = matches["cov"], matches["mean"], matches["ok"]
     if not static.use_radar_cov:
-        return _avg_voxcov_tail(pose, src_flat, fl(qbuf), fl(cov), fl(mean),
-                                fl(ok), params)
+        q_world = (
+            jnp.einsum("ij,kj->ki", pose[:3, :3], src_flat, precision=_HI)
+            + pose[:3, 3]
+        )
+        return _avg_voxcov_tail(pose, src_flat, q_world, cov, mean, ok,
+                                params)
     k = 7
     src7 = jnp.repeat(src_flat, k, axis=0)
-    radar7 = jnp.repeat(fl(radar_sbuf), k, axis=0)
+    radar7 = jnp.repeat(radar_flat, k, axis=0)
     return _voxcov_tail(
-        pose, src7, fl(cov).reshape(-1, 3, 3), fl(mean).reshape(-1, 3),
-        fl(ok).reshape(-1), params, static, radar7,
+        pose, src7, cov.reshape(-1, 3, 3), mean.reshape(-1, 3),
+        ok.reshape(-1), params, static, radar7,
     )
 
 
@@ -588,11 +632,11 @@ def run_register(
     if static.backend == "tile":
         # Hoist the tile-slot assignment out of the GN loop: sort + scatter
         # once, from the initial guess. The GN iterations then run entirely
-        # on the SLOT layout (_iteration_slots_flat) — the masked sums are
-        # permutation-invariant, so no scatter back to query order is ever
-        # needed (measured 27% faster per iteration than scatter+[N]-row
-        # tails at bench shapes, and it is what the slot-sharded multi-chip
-        # mode partitions).
+        # on the SLOT layout (_search_slots/_tails_from_matches) — the
+        # masked sums are permutation-invariant, so no scatter back to query
+        # order is ever needed (measured 27% faster per iteration than
+        # scatter+[N]-row tails at bench shapes, and it is what the
+        # slot-sharded multi-chip mode partitions).
         asg = maptiles.assign_slots(
             grid, lie.transform_points(pose0, src_local), src_valid,
             static.tile_budget,
@@ -615,15 +659,54 @@ def run_register(
     else:
         dropped = jnp.asarray(0, jnp.int32)
 
+    reuse_on = static.backend == "tile" and static.corr_reuse
+    if reuse_on:
+        # Scan radius bound for the rotation term of the reuse ladder: a
+        # step rotating by dtheta moves a point at range r by <= dtheta * r.
+        src_r = jnp.sqrt(jnp.max(jnp.where(
+            asg.qmask, jnp.sum(sbuf * sbuf, axis=-1), 0.0)))
+        # zero-valued match pytree shaped like a real search — the first
+        # iteration always refreshes (moved starts at +inf), so these values
+        # are never consumed
+        matches0 = jax.tree_util.tree_map(
+            lambda sd: jnp.zeros(sd.shape, sd.dtype),
+            jax.eval_shape(
+                lambda p: _search_slots(p, sbuf, asg, grid, params, static),
+                pose0,
+            ),
+        )
+    else:
+        # scalar placeholders: the carry layout is shared, its cost is not
+        matches0 = {"ok": jnp.zeros((), bool)}
+        src_r = jnp.asarray(0.0, dtype)
+
     def cond(carry):
-        pose, it, done, failed, fitness, local_cov, overlap = carry
-        return (it < static.max_iteration) & ~done & ~failed
+        return (carry[1] < static.max_iteration) & ~carry[2] & ~carry[3]
 
     def body(carry):
-        pose, it, done, failed, fitness, local_cov, overlap = carry
-        if static.backend == "tile":
-            matched, JTJ, JTr, fit_num = _iteration_slots_flat(
-                pose, sbuf, asg, grid, params, static, radar_sbuf
+        pose, it, done, failed, fitness, local_cov, overlap, matches, moved \
+            = carry
+        if reuse_on:
+            # Correspondence reuse (PcmConfig.corr_refresh_dist_m): re-search
+            # only when the pose has moved more than the bound since the last
+            # search.
+            refresh = moved >= params.corr_refresh_dist
+            matches = jax.lax.cond(
+                refresh,
+                lambda: _search_slots(pose, sbuf, asg, grid, params, static),
+                lambda: matches,
+            )
+            moved = jnp.where(refresh, 0.0, moved)
+            matched, JTJ, JTr, fit_num = _tails_from_matches(
+                pose, sbuf, matches, params, static, radar_sbuf
+            )
+        elif static.backend == "tile":
+            # reference behavior: search every iteration (cpp:310-347), one
+            # straight-line search+solve dataflow with no cond/carry
+            matched, JTJ, JTr, fit_num = _tails_from_matches(
+                pose, sbuf,
+                _search_slots(pose, sbuf, asg, grid, params, static),
+                params, static, radar_sbuf,
             )
         else:
             matched, JTJ, JTr, fit_num = _iteration(
@@ -647,7 +730,21 @@ def run_register(
 
         rot_norm = jnp.linalg.norm(lie.so3_log(step_tf[:3, :3]))
         transform_norm = rot_norm + jnp.linalg.norm(x[0:3])
-        terminated = overlap_ok & (transform_norm < params.termination_threshold)
+        step_small = overlap_ok & (transform_norm < params.termination_threshold)
+        if reuse_on:
+            # Termination must be CONFIRMED on fresh matches: on a fixed
+            # correspondence set the damped GN/IRLS solve converges in 1-2
+            # steps, so a small step on STALE matches only means the stale
+            # set's optimum was reached — force a re-search next iteration
+            # and terminate only when a fresh search also yields a small
+            # step (the exact reference condition, cpp:380-391).
+            terminated = step_small & refresh
+            # accumulated worst-case point motion since the last search
+            # (zero when the step was gated off — x is zeroed above)
+            moved = moved + jnp.linalg.norm(x[0:3]) + rot_norm * src_r
+            moved = jnp.where(step_small & ~refresh, jnp.inf, moved)
+        else:
+            terminated = step_small
 
         fitness_new = jnp.where(overlap_ok, fit, fitness)
         if static.method == int(IcpMethod.GICP):
@@ -663,6 +760,8 @@ def run_register(
             fitness_new,
             local_cov_new,
             ratio,
+            matches,
+            moved,
         )
 
     carry0 = (
@@ -673,10 +772,12 @@ def run_register(
         jnp.asarray(0.0, dtype),
         jnp.eye(6, dtype=dtype),
         jnp.asarray(0.0, dtype),
+        matches0,
+        jnp.asarray(jnp.inf, dtype),  # force a search on iteration 0
     )
     pose, it, done, failed, fitness, local_cov, overlap = jax.lax.while_loop(
         cond, body, carry0
-    )
+    )[:7]
     if origin is not None:
         pose = pose.at[:2, 3].add(origin.astype(dtype))
     success = ~failed & (fitness <= params.max_fitness_score)

@@ -398,3 +398,52 @@ class TestAlignCloudsGlobal:
         R_np = np.eye(3) + np.sin(n) * K + (1 - np.cos(n)) * (K @ K)
         np.testing.assert_allclose(T[:3, 3], x[:3], atol=1e-10)
         np.testing.assert_allclose(T[:3, :3], R_np, atol=1e-10)
+
+
+@pytest.mark.parametrize(
+    "method", [IcpMethod.P2P, IcpMethod.GICP, IcpMethod.VGICP, IcpMethod.AVGICP]
+)
+def test_corr_reuse_equivalence(method):
+    """corr_refresh_dist_m > 0 (lazy correspondence reuse, a TPU extension —
+    the reference re-searches every iteration, registration.cpp:310-347) must
+    land within millimeters of the always-refresh solution and converge."""
+    map_pts = make_world()
+    true_pose = pose_xyzyaw(3.0, 1.0, 0.0, 0.5)
+    init_pose = pose_xyzyaw(3.4, 0.7, 0.1, 0.55)
+    voxelized = method in (IcpMethod.VGICP, IcpMethod.AVGICP)
+    kw = {"max_fitness_score": 2.0} if voxelized else {}
+    # compare CONVERGED fixed points (both terminate well under 40): the
+    # termination criterion accepts any pose whose fresh-search step is
+    # < 0.02 m, so path-dependent results legitimately differ within that
+    # basin; at the default max_iteration=10 cap neither path has converged
+    # on this cold 0.5 m init and the comparison would measure iteration
+    # budget, not the reuse approximation
+    res0, _ = _run(map_pts, true_pose, init_pose, method, backend="tile",
+                   corr_refresh_dist_m=0.0, max_iteration=40, **kw)
+    res1, _ = _run(map_pts, true_pose, init_pose, method, backend="tile",
+                   corr_refresh_dist_m=0.5, max_iteration=40, **kw)
+    assert bool(res0.success) and bool(res1.success)
+    assert int(res0.iterations) < 40 and int(res1.iterations) < 40
+    dt = np.linalg.norm(np.asarray(res0.pose)[:3, 3]
+                        - np.asarray(res1.pose)[:3, 3])
+    dr = np.linalg.norm(ref.so3_log(
+        np.asarray(res0.pose)[:3, :3].T @ np.asarray(res1.pose)[:3, :3]))
+    assert dt < 1e-2, f"{method}: reuse translation delta {dt}"
+    # rotation shares the 0.02 rad+m combined termination budget; AVGICP (the
+    # loosest method — see test_recovers_perturbed_pose limits) lands ~2.5e-3
+    assert dr < 4e-3, f"{method}: reuse rotation delta {dr}"
+
+
+def test_corr_reuse_zero_is_reference_path():
+    """With the default corr_refresh_dist_m=0 every iteration re-searches:
+    the result must be BITWISE identical to what the pre-reuse code produced
+    (the cond's search branch is taken unconditionally)."""
+    map_pts = make_world()
+    true_pose = pose_xyzyaw(3.0, 1.0, 0.0, 0.5)
+    init_pose = pose_xyzyaw(3.4, 0.7, 0.1, 0.55)
+    res0, _ = _run(map_pts, true_pose, init_pose, IcpMethod.P2P,
+                   backend="tile")
+    res1, _ = _run(map_pts, true_pose, init_pose, IcpMethod.P2P,
+                   backend="tile", corr_refresh_dist_m=0.0)
+    np.testing.assert_array_equal(np.asarray(res0.pose), np.asarray(res1.pose))
+    assert int(res0.iterations) == int(res1.iterations)
