@@ -112,6 +112,63 @@ def test_reload_config_swaps_params_without_losing_state():
     assert np.isfinite(np.asarray(state.ekf.P)).all()
 
 
+def test_ini_hot_reload_mid_replay(tmp_path):
+    """VERDICT r3 #8: the run loops poll a ConfigWatcher per frame (the
+    reference's ProcessINI-per-IMU-callback, ekf_localization.cpp:141).
+    Editing the ini mid-replay must swap continuous params WITHOUT losing
+    filter state and WITHOUT re-jitting (value-only changes hit the live
+    trace cache)."""
+    import os
+
+    from elimaloc_tpu.config import export_ini
+
+    pipe, log = tiny_pipe(duration=3.0)
+    ini = tmp_path / "localization.ini"
+    export_ini(pipe.cfg, str(ini))
+    pipe.watch_config(str(ini))
+    jits_before = pipe._jits
+    old_max = float(pipe.params.icp.max_search_dist)
+    assert old_max != 3.75
+    n_scans = len(log.scan_t)
+    progress = {"k": 0, "edited_at": None}
+
+    def on_scan(out):
+        progress["k"] += 1
+        if progress["k"] == n_scans // 2 and progress["edited_at"] is None:
+            cfg2 = copy.deepcopy(pipe.cfg)
+            cfg2.pcm.max_search_dist = 3.75
+            export_ini(cfg2, str(ini))
+            st = os.stat(str(ini))
+            os.utime(str(ini), ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+            progress["edited_at"] = progress["k"]
+
+    state, outs = pipe.run_frames(log, on_scan=on_scan)
+    assert progress["edited_at"] is not None
+    assert float(pipe.params.icp.max_search_dist) == 3.75
+    # value-only swap: the jitted programs are the SAME objects (no re-jit)
+    assert pipe._jits is jits_before
+    # filter state survived the swap: the replay kept localizing across it
+    pos = np.asarray(outs["ego_pos"])
+    assert np.isfinite(pos).all()
+    tail = np.asarray(outs["ego_t_abs"]) > log.scan_t[0] + 2.0
+    ate = ate_rmse(np.asarray(outs["ego_t_abs"])[tail], pos[tail],
+                   log.truth_t, log.truth_pos)
+    assert ate < 0.5, f"post-reload ATE {ate}"
+
+
+def test_dashboard_emits_during_run(capsys):
+    """VERDICT r3 #9: debug_print streams the 1 Hz (sim-time) sigma/config
+    dashboard during replay (PrintState from the reference's 1 s timer,
+    ekf_algorithm.cpp:176-180)."""
+    pipe, log = tiny_pipe(duration=3.0)
+    pipe.cfg.ekf.debug_print = True
+    pipe.run_frames(log)
+    text = capsys.readouterr().out
+    # each dashboard frame is fenced by two 40-dash rules
+    assert text.count("-" * 40) >= 4, "expected >=2 dashboard frames in 3 s"
+    assert "State Std" in text and "Yaw" in text
+
+
 def test_vgicp_end_to_end():
     """The full fused loop with the voxelized matcher (BASELINE config 4)."""
     pipe, log = tiny_pipe()
@@ -217,9 +274,21 @@ def test_windowed_map_replay_matches_full(prefetch):
         assert win.window_stats["sync_swaps"] == 0, win.window_stats
         assert win.window_stats["prefetch_hits"] == win.window_stats["swaps"]
 
-    import pytest as _pytest
-    with _pytest.raises(ValueError):
-        win.run_fused(log)
+    # windowed run_fused = CHUNKED fused replay (replay_fused_chunk): one
+    # compiled chunk program, window management between chunks. Must match
+    # the full-map trajectory like the streaming mode does (the chunk-stale
+    # window ladder is absorbed by the window margin), across a chunk size
+    # that divides the log and one that leaves a ragged final chunk.
+    for chunk in (4, 7):
+        win2 = LocalizationPipeline(cfg, world, map_window_radius=48.0,
+                                    map_window_prefetch=(prefetch == "forced"),
+                                    **kw)
+        _, of = win2.run_fused(log, window_chunk=chunk)
+        assert of["ego_pos"].shape[0] == len(log.scan_t)
+        err = np.linalg.norm(traj_full["pos"] - of["ego_pos"], axis=1)
+        assert float(np.max(err)) < 0.01, (
+            f"windowed-fused(chunk={chunk})-vs-full max diff {err.max()}"
+        )
 
 
 def test_fleet_lanes_match_single_stream():
