@@ -200,7 +200,21 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
     Pi = P[idx_a, :]                    # H P, [m,27]
     S = Pi[:, idx_a] + R                # H P H^T + R
     PHt = P[:, idx_a]                   # [27,m]
-    K = jnp.linalg.solve(S.T, PHt.T).T  # K = P H^T S^-1
+    m = len(idx)
+    if m == 2:
+        # closed-form 2x2 inverse: linalg.solve lowers to an LU custom call,
+        # which costs ~an entire complementary-filter step at the 100-400 Hz
+        # IMU rate (tools/profile_cf.py); S is SPD here, the adjugate form
+        # is numerically fine
+        det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+        Sinv = jnp.array([[S[1, 1], -S[0, 1]],
+                          [-S[1, 0], S[0, 0]]]) / det
+        K = jnp.matmul(PHt, Sinv, precision=lie._HI)
+    elif m == 3:
+        Sinv = lie.inv3x3(S)
+        K = jnp.matmul(PHt, Sinv, precision=lie._HI)
+    else:
+        K = jnp.linalg.solve(S.T, PHt.T).T  # K = P H^T S^-1
     su = jnp.matmul(K, Y, precision=_HI)  # full-state additive update
     if joseph:
         # (I-KH)P(I-KH)^T + KRK^T with H a selector: KH = scatter of K's

@@ -293,9 +293,17 @@ def voxel_downsample(points, valid, voxel_size, out_size: int):
         jnp.minimum(_mix(keys), jnp.uint32(0xFFFFFFFE)),
         jnp.uint32(0xFFFFFFFF),
     )
-    order = jnp.argsort(key, stable=True)  # equal keys stay in input order
-    sc = keys[order]
-    sv = valid[order]
+    # Multi-operand sort: carrying the payload lanes THROUGH the sort
+    # (XLA sorts tuples natively) replaces argsort + 7 permutation gathers —
+    # TPU gathers are scalar-core-bound, the sorted payloads are free.
+    # Stable + same key => bitwise-identical to argsort(stable) + gathers.
+    (_, cx, cy, cz, sv, px, py, pz) = jax.lax.sort(
+        (key, keys[:, 0], keys[:, 1], keys[:, 2], valid,
+         points[:, 0], points[:, 1], points[:, 2]),
+        num_keys=1, is_stable=True,
+    )
+    sc = jnp.stack([cx, cy, cz], axis=-1)
+    sp = jnp.stack([px, py, pz], axis=-1)
     first = jnp.ones(n, dtype=bool).at[1:].set(
         jnp.any(sc[1:] != sc[:-1], axis=-1)
     )
@@ -303,7 +311,7 @@ def voxel_downsample(points, valid, voxel_size, out_size: int):
     rank = jnp.cumsum(keep) - 1
     dst = jnp.where(keep, rank, out_size)  # out-of-range rows are dropped
     out_pts = jnp.zeros((out_size, 3), dtype=points.dtype)
-    out_pts = out_pts.at[dst].set(points[order], mode="drop")
+    out_pts = out_pts.at[dst].set(sp, mode="drop")
     kept = jnp.sum(keep)
     out_valid = jnp.arange(out_size) < kept
     return out_pts, out_valid, jnp.minimum(kept, out_size)

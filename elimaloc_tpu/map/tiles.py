@@ -448,9 +448,15 @@ def assign_slots(tmap: TileMap, queries, valid, budget: TileQueryBudget) -> Slot
     ty = jnp.clip(ty, 0, tmap.ty_dim - 1)
     tile = jnp.where(valid & in_reach, tx * tmap.ty_dim + ty, t_sent)
 
-    order = jnp.argsort(tile)  # stable
-    st = tile[order]
+    # Multi-operand sort: payload lanes ride the sort instead of argsort +
+    # 7 permutation gathers (scalar-core-bound on TPU). Stable + same key =>
+    # identical layout to the argsort form.
     idx = jnp.arange(n, dtype=jnp.int32)
+    (st, order, q0, q1, q2, v0, v1, v2) = jax.lax.sort(
+        (tile, idx, queries[:, 0], queries[:, 1], queries[:, 2],
+         qv[:, 0], qv[:, 1], qv[:, 2]),
+        num_keys=1, is_stable=True,
+    )
     first = jnp.ones(n, dtype=bool).at[1:].set(st[1:] != st[:-1])
     seg_start = jax.lax.cummax(jnp.where(first, idx, 0))
     rank = idx - seg_start
@@ -461,8 +467,8 @@ def assign_slots(tmap: TileMap, queries, valid, budget: TileQueryBudget) -> Slot
     usable = (slot < s) & (st != t_sent)
     flat = jnp.where(usable, slot * qb + pos, s * qb)  # drop target
 
-    q_sorted = queries[order]
-    qv_sorted = qv[order]
+    q_sorted = jnp.stack([q0, q1, q2], axis=-1)
+    qv_sorted = jnp.stack([v0, v1, v2], axis=-1)
     qbuf = jnp.zeros((s * qb, 3), dtype=queries.dtype).at[flat].set(
         q_sorted, mode="drop"
     ).reshape(s, qb, 3)

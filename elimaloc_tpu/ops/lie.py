@@ -378,3 +378,26 @@ def interpolate_tf_with_time(tf_between, dt_scan, dt_trans):
     ident = jnp.broadcast_to(jnp.eye(4, dtype=tf_between.dtype), tf_between.shape)
     out = make_transform(rot, trans)
     return jnp.where(jnp.asarray(dt_trans == 0.0)[..., None, None], ident, out)
+
+
+def inv3x3(m):
+    """Batched closed-form 3x3 inverse (adjugate/det) — cheaper and more
+    fusion-friendly on TPU than linalg.inv/solve for [...,3,3] stacks (a
+    tiny LU custom call per instance otherwise)."""
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    inv_det = 1.0 / det
+    adj = jnp.stack(
+        [
+            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
+            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
+            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]

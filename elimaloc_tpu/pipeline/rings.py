@@ -94,7 +94,9 @@ def _push_arrays(ring, fields, new_t, guard_eps, clear_on_regress):
 
     def upd(arr, val):
         rolled = jnp.where(full, jnp.roll(arr, -1, axis=0), arr)
-        return jnp.where(accept, rolled.at[write_idx].set(val), arr)
+        return jnp.where(
+            accept, rolled.at[write_idx].set(jnp.asarray(val, arr.dtype)), arr
+        )
 
     new_fields = {k: upd(getattr(ring, k), v) for k, v in fields.items()}
     new_count = jnp.where(accept, jnp.minimum(count + 1, cap), count)
@@ -118,6 +120,71 @@ def push_imu(ring: ImuRing, t, gyro, acc) -> ImuRing:
         t,
         guard_eps=0.0,
         clear_on_regress=jnp.asarray(True),
+    )
+
+
+def _push_arrays_batch(ring, fields, new_t, valid, guard_eps):
+    """M chronological pushes at once — same result as M sequential
+    :func:`_push_arrays` calls, but the ring buffers are touched ONCE (one
+    variable roll + one scatter per field) instead of per sample. In the
+    fused frame the per-sample pushes were ~0.2 ms/frame of pure ring
+    bookkeeping (tools/profile_imu.py).
+
+    PRECONDITION: ``new_t`` is nondecreasing over ``valid`` samples — true
+    for build_fused_batches sub-batches (events are bucketed time-sorted).
+    Under that ordering a time regression can only occur at the FIRST valid
+    sample (handled: clears like the sequential guard); the eps-dedupe
+    acceptance chain is computed exactly with a scalar scan."""
+    cap = ring.capacity
+    assert new_t.shape[0] <= cap, (new_t.shape[0], cap)
+    count0 = ring.count
+    has0 = count0 > 0
+    last0 = ring.t[jnp.maximum(count0 - 1, 0)]
+
+    any_valid = jnp.any(valid)
+    first_t = new_t[jnp.argmax(valid)]
+    regress = any_valid & has0 & (last0 > first_t)
+    count0 = jnp.where(regress, 0, count0)
+    has0 = count0 > 0
+    last0 = jnp.where(has0, ring.t[jnp.maximum(count0 - 1, 0)], -jnp.inf)
+
+    def acc_body(last, tv):
+        t, v = tv
+        a = v & (last + guard_eps < t)
+        return jnp.where(a, t, last), a
+
+    _, accept = jax.lax.scan(acc_body, last0.astype(new_t.dtype),
+                             (new_t, valid))
+    ranks = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    n_acc = ranks[-1] + 1
+    # rolling once by the total overflow == rolling by 1 per overflowing
+    # push (both drop the same oldest entries)
+    roll_amt = jnp.maximum(count0 + n_acc - cap, 0)
+    base = count0 - roll_amt
+    dst = jnp.where(accept, base + ranks, cap)  # cap row = dropped
+
+    def upd(arr, vals):
+        return jnp.roll(arr, -roll_amt, axis=0).at[dst].set(
+            jnp.asarray(vals, arr.dtype), mode="drop")
+
+    new_fields = {k: upd(getattr(ring, k), v) for k, v in fields.items()}
+    new_count = jnp.minimum(count0 + n_acc, cap)
+    return ring.replace(count=new_count, **new_fields)
+
+
+def push_ego_batch(ring: EgoRing, t, pos, rpy, vel_local, gyro,
+                   valid) -> EgoRing:
+    """Batch form of :func:`push_ego` for the fused frame's IMU sub-batch."""
+    return _push_arrays_batch(
+        ring, dict(t=t, pos=pos, rpy=rpy, vel_local=vel_local, gyro=gyro),
+        t, valid, guard_eps=1e-5,
+    )
+
+
+def push_imu_batch(ring: ImuRing, t, gyro, acc, valid) -> ImuRing:
+    """Batch form of :func:`push_imu`."""
+    return _push_arrays_batch(
+        ring, dict(t=t, gyro=gyro, acc=acc), t, valid, guard_eps=0.0,
     )
 
 

@@ -56,7 +56,7 @@ from ..map import tiles as map_tiles
 from ..map import grid as map_grid
 from ..map.grid import voxel_downsample
 from ..ops import lie
-from ..ops.frames import imu_to_ego
+from ..ops.frames import global_to_local_velocity, imu_to_ego
 from ..register import IcpStatic, make_icp_params, make_icp_static, run_register
 from ..register.icp import IcpParams
 from . import rings
@@ -399,6 +399,45 @@ def pcm_init_step(state: PipelineState, t, pose, pp: PipelineParams,
 # Fully-fused replay (one compiled program per log shape)
 # --------------------------------------------------------------------------- #
 
+def imu_subbatch(st: PipelineState, b, pp: PipelineParams,
+                 ps: PipelineStatic) -> PipelineState:
+    """The frame's IMU sub-batch with the SEQUENTIAL chain reduced to the
+    EKF filter only. Equivalent to scanning :func:`imu_step` per sample, but
+    ~3x cheaper on TPU (tools/profile_imu.py): the sensor-frame conversion
+    is batched up front (state-independent), the per-sample scan carries
+    only the EkfState (not the ring buffers), the ego-state output
+    conversions (Euler/local-twist) are batched AFTER the scan, and both
+    rings are written once via the batch push (rings._push_arrays_batch)."""
+    ts, accs, gyros, valids = (
+        b["imu_t"], b["imu_acc"], b["imu_gyro"], b["imu_valid"])
+    acc_e, gyro_e = imu_to_ego(accs, gyros, pp.ego_to_imu_rot,
+                               pp.ego_to_imu_trans)
+    # PCM's IMU intake rotates but does not lever-arm compensate (cpp:328)
+    gyro_pcm = jnp.einsum("ij,nj->ni", pp.ego_to_imu_rot, gyros,
+                          precision=lie._HI)
+    acc_pcm = jnp.einsum("ij,nj->ni", pp.ego_to_imu_rot, accs,
+                         precision=lie._HI)
+
+    def body(ekf, x):
+        t, acc, gyro, v = x
+        ekf2 = predict_imu(ekf, ImuMeas(timestamp=t, acc=acc, gyro=gyro),
+                           pp.ekf, ps.ekf_flags)
+        ekf2 = jax.tree_util.tree_map(
+            lambda a_, b_: jnp.where(v, a_, b_), ekf2, ekf)
+        return ekf2, (ekf2.prev_timestamp, ekf2.pos, ekf2.rot, ekf2.vel,
+                      ekf2.gyro)
+
+    ekf, (t_s, pos_s, rot_s, vel_s, gyro_s) = jax.lax.scan(
+        body, st.ekf, (ts, acc_e, gyro_e, valids), unroll=ps.sub_unroll)
+    rpy_s = jax.vmap(lambda q: lie.rot_to_euler(lie.quat_to_rot(q)))(rot_s)
+    vloc_s = global_to_local_velocity(vel_s, rpy_s)
+    ego_ring = rings.push_ego_batch(
+        st.ego_ring, t_s, pos_s, rpy_s, vloc_s, gyro_s, valids)
+    imu_ring = rings.push_imu_batch(st.imu_ring, ts, gyro_pcm, acc_pcm,
+                                    valids)
+    return st.replace(ekf=ekf, ego_ring=ego_ring, imu_ring=imu_ring)
+
+
 def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
                 ps: PipelineStatic):
     """One scan frame: the frame's IMU / CAN / GPS sub-batches (masked fixed
@@ -406,17 +445,7 @@ def fused_frame(st: PipelineState, b, tmap, pp: PipelineParams,
     imu -> can -> gps -> scan. Shared by the whole-log fused replay
     (:func:`replay_fused`) and the per-frame streaming mode
     (:meth:`LocalizationPipeline.run_frames`)."""
-
-    def imu_body(s, x):
-        t, acc, gyro, v = x
-        s2 = imu_step(s, t, acc, gyro, pp, ps)
-        return _select_state(v, s2, s), None
-
-    st = jax.lax.scan(
-        imu_body, st,
-        (b["imu_t"], b["imu_acc"], b["imu_gyro"], b["imu_valid"]),
-        unroll=ps.sub_unroll,
-    )[0]
+    st = imu_subbatch(st, b, pp, ps)
 
     if ps.use_can:
         def can_body(s, x):

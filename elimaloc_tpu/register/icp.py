@@ -86,6 +86,12 @@ class IcpStatic:
     # ~30% fused throughput (measured on v5e), so reference behavior must
     # not pay for the feature.
     corr_reuse: bool = False
+    # Re-run the tile-slot assignment from the CURRENT pose every GN
+    # iteration (exact reference search semantics, registration.cpp:310-347)
+    # instead of freezing it at the initial guess. Required for AVGICP
+    # oracle parity (see make_icp_static); mutually exclusive with
+    # corr_reuse (reused matches are indexed by a fixed assignment).
+    reassign_each_iter: bool = False
     tile_budget: maptiles.TileQueryBudget = maptiles.TileQueryBudget()
     # When set, the source-point axis is sharded across this mesh axis:
     # per-device partial (matched, JTJ, JTr, fitness numerator, valid count)
@@ -120,13 +126,27 @@ def make_icp_params(cfg: PcmConfig, dtype=jnp.float32) -> IcpParams:
 
 
 def make_icp_static(cfg: PcmConfig, backend: str = "tile",
-                    tile_budget: maptiles.TileQueryBudget | None = None) -> IcpStatic:
+                    tile_budget: maptiles.TileQueryBudget | None = None,
+                    reassign_each_iter: bool | None = None) -> IcpStatic:
+    if reassign_each_iter is None:
+        # AVGICP sums ALL 7 face-adjacent voxel covs per point, so losing
+        # halo-edge candidates to a stale initial-guess tile assignment is a
+        # systematic bias (1.9-13.4 mm/registration vs the f64 oracle at
+        # 0.3 m init error, tools/diag_avgicp_parity.py); the argmin methods
+        # are insensitive (~1e-6 m) and keep the cheaper hoisted assignment.
+        # an explicit corr_refresh_dist_m opt-in takes precedence (the two
+        # are mutually exclusive; reused matches index a fixed assignment)
+        reassign_each_iter = (
+            int(cfg.icp_method) == int(IcpMethod.AVGICP)
+            and not float(cfg.corr_refresh_dist_m) > 0.0
+        )
     return IcpStatic(
         method=int(cfg.icp_method),
         max_iteration=int(cfg.max_iteration),
         use_radar_cov=bool(cfg.use_radar_cov),
         backend=backend,
         corr_reuse=float(cfg.corr_refresh_dist_m) > 0.0,
+        reassign_each_iter=bool(reassign_each_iter),
         tile_budget=tile_budget or maptiles.TileQueryBudget(),
     )
 
@@ -148,26 +168,8 @@ class IcpResult:
 # Small linear-algebra helpers
 # --------------------------------------------------------------------------- #
 
-def _inv3x3(m):
-    """Batched closed-form 3x3 inverse (adjugate/det) — cheaper and more
-    fusion-friendly on TPU than linalg.inv for [N,3,3] stacks."""
-    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
-    A = e * i - f * h
-    B = -(d * i - f * g)
-    C = d * h - e * g
-    det = a * A + b * B + c * C
-    inv_det = 1.0 / det
-    adj = jnp.stack(
-        [
-            jnp.stack([A, -(b * i - c * h), (b * f - c * e)], axis=-1),
-            jnp.stack([B, (a * i - c * g), -(a * f - c * d)], axis=-1),
-            jnp.stack([C, -(a * h - b * g), (a * e - b * d)], axis=-1),
-        ],
-        axis=-2,
-    )
-    return adj * inv_det[..., None, None]
+# batched closed-form 3x3 inverse (moved to ops/lie.py round 4; kept name)
+_inv3x3 = lie.inv3x3
 
 
 def _accumulate_gn(src_local, tgt_global, maha, w, mask, pose):
@@ -629,6 +631,32 @@ def run_register(
     if origin is not None:
         pose0 = pose0.at[:2, 3].add(-origin.astype(dtype))
 
+    reassign_on = static.backend == "tile" and static.reassign_each_iter
+    if reassign_on and static.corr_reuse:
+        raise ValueError(
+            "reassign_each_iter and corr_reuse are mutually exclusive: "
+            "reused matches are indexed by a fixed slot assignment"
+        )
+
+    def _assign(p):
+        """Tile-slot assignment + slot-packed source (and radar covs) at
+        pose ``p``: sort + scatter over the query axis."""
+        a = maptiles.assign_slots(
+            grid, lie.transform_points(p, src_local), src_valid,
+            static.tile_budget,
+        )
+        n = src_local.shape[0]
+        safe_idx = jnp.minimum(a.qidx, n - 1)
+        sb = jnp.where(a.qmask[..., None], src_local[safe_idx], 0.0)
+        rb = None
+        if static.use_radar_cov:
+            # pack the (world-frame, pre-window-shift) per-point radar
+            # covariances into the slot layout
+            rb = jnp.where(a.qmask[..., None, None], radar_cov[safe_idx], 0.0)
+        if static.slot_shard_axis is not None:
+            a, sb, rb = _shard_slots(a, sb, rb, static.slot_shard_axis)
+        return a, sb, rb
+
     if static.backend == "tile":
         # Hoist the tile-slot assignment out of the GN loop: sort + scatter
         # once, from the initial guess. The GN iterations then run entirely
@@ -636,26 +664,15 @@ def run_register(
         # masked sums are permutation-invariant, so no scatter back to query
         # order is ever needed (measured 27% faster per iteration than
         # scatter+[N]-row tails at bench shapes, and it is what the
-        # slot-sharded multi-chip mode partitions).
-        asg = maptiles.assign_slots(
-            grid, lie.transform_points(pose0, src_local), src_valid,
-            static.tile_budget,
-        )
-        n = src_local.shape[0]
-        safe_idx = jnp.minimum(asg.qidx, n - 1)
-        sbuf = jnp.where(asg.qmask[..., None], src_local[safe_idx], 0.0)
-        dropped = asg.dropped.astype(jnp.int32)
-        radar_sbuf = None
-        if static.use_radar_cov:
-            # pack the (world-frame, pre-window-shift) per-point radar
-            # covariances into the slot layout once per registration
-            radar_sbuf = jnp.where(
-                asg.qmask[..., None, None], radar_cov[safe_idx], 0.0
-            )
-        if static.slot_shard_axis is not None:
-            asg, sbuf, radar_sbuf = _shard_slots(
-                asg, sbuf, radar_sbuf, static.slot_shard_axis
-            )
+        # slot-sharded multi-chip mode partitions). With reassign_each_iter
+        # the loop body re-runs _assign from the current pose instead and
+        # the dropped diagnostic is accumulated through the carry.
+        if reassign_on:
+            asg = sbuf = radar_sbuf = None
+            dropped = jnp.asarray(0, jnp.int32)
+        else:
+            asg, sbuf, radar_sbuf = _assign(pose0)
+            dropped = asg.dropped.astype(jnp.int32)
     else:
         dropped = jnp.asarray(0, jnp.int32)
 
@@ -684,9 +701,26 @@ def run_register(
         return (carry[1] < static.max_iteration) & ~carry[2] & ~carry[3]
 
     def body(carry):
-        pose, it, done, failed, fitness, local_cov, overlap, matches, moved \
-            = carry
-        if reuse_on:
+        (pose, it, done, failed, fitness, local_cov, overlap, matches,
+         moved, dropped_c) = carry
+        if reassign_on:
+            # Exact reference search semantics (registration.cpp:310-347):
+            # the voxel-cube candidates come from the CURRENT pose. The
+            # hoisted assignment freezes each query's tile at the initial
+            # guess; once GN steps move an edge query toward a neighboring
+            # tile, cube voxels beyond the 1-voxel halo margin are silently
+            # lost — invisible to the argmin methods but a systematic pair
+            # loss for AVGICP, which sums all 7 face-adjacent covariances
+            # (tools/diag_avgicp_parity.py: 1.9-13.4 mm/registration at
+            # 0.3 m init error, vs ~1e-6 m with per-iteration assignment).
+            asg_i, sbuf_i, radar_i = _assign(pose)
+            dropped_c = jnp.maximum(dropped_c, asg_i.dropped.astype(jnp.int32))
+            matched, JTJ, JTr, fit_num = _tails_from_matches(
+                pose, sbuf_i,
+                _search_slots(pose, sbuf_i, asg_i, grid, params, static),
+                params, static, radar_i,
+            )
+        elif reuse_on:
             # Correspondence reuse (PcmConfig.corr_refresh_dist_m): re-search
             # only when the pose has moved more than the bound since the last
             # search.
@@ -762,6 +796,7 @@ def run_register(
             ratio,
             matches,
             moved,
+            dropped_c,
         )
 
     carry0 = (
@@ -774,10 +809,11 @@ def run_register(
         jnp.asarray(0.0, dtype),
         matches0,
         jnp.asarray(jnp.inf, dtype),  # force a search on iteration 0
+        dropped,
     )
-    pose, it, done, failed, fitness, local_cov, overlap = jax.lax.while_loop(
-        cond, body, carry0
-    )[:7]
+    final = jax.lax.while_loop(cond, body, carry0)
+    pose, it, done, failed, fitness, local_cov, overlap = final[:7]
+    dropped = final[9]
     if origin is not None:
         pose = pose.at[:2, 3].add(origin.astype(dtype))
     success = ~failed & (fitness <= params.max_fitness_score)

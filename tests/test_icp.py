@@ -146,7 +146,7 @@ class TestGnStep:
 
 
 def _run(map_pts, true_pose, init_pose, method, n_scan=1024, backend="hash",
-         **cfg_kw):
+         reassign_each_iter=None, **cfg_kw):
     cfg = PcmConfig(icp_method=method, **cfg_kw)
     need_vox = method in (IcpMethod.VGICP, IcpMethod.AVGICP)
     need_pt = method == IcpMethod.GICP
@@ -162,7 +162,8 @@ def _run(map_pts, true_pose, init_pose, method, n_scan=1024, backend="hash",
     scan = make_scan(map_pts, true_pose, n=n_scan)
     params = make_icp_params(cfg, dtype=jnp.float64)
     static = make_icp_static(
-        cfg, backend=backend, tile_budget=TileQueryBudget(qb=32, max_slots=1024)
+        cfg, backend=backend, tile_budget=TileQueryBudget(qb=32, max_slots=1024),
+        reassign_each_iter=reassign_each_iter,
     )
     res = jax.jit(run_register, static_argnums=5)(
         jnp.asarray(scan),
@@ -418,8 +419,13 @@ def test_corr_reuse_equivalence(method):
     # basin; at the default max_iteration=10 cap neither path has converged
     # on this cold 0.5 m init and the comparison would measure iteration
     # budget, not the reuse approximation
+    # like-for-like: the reuse ladder indexes a FIXED slot assignment, so
+    # the always-refresh baseline must run on the frozen assignment too
+    # (AVGICP otherwise defaults to per-iteration reassignment, a more
+    # accurate engine — see make_icp_static)
     res0, _ = _run(map_pts, true_pose, init_pose, method, backend="tile",
-                   corr_refresh_dist_m=0.0, max_iteration=40, **kw)
+                   corr_refresh_dist_m=0.0, max_iteration=40,
+                   reassign_each_iter=False, **kw)
     res1, _ = _run(map_pts, true_pose, init_pose, method, backend="tile",
                    corr_refresh_dist_m=0.5, max_iteration=40, **kw)
     assert bool(res0.success) and bool(res1.success)

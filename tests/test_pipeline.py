@@ -56,6 +56,117 @@ class TestRings:
         assert int(r.count) == 4
         np.testing.assert_allclose(np.asarray(r.t), [3, 4, 5, 6])
 
+    def test_batch_push_matches_sequential(self):
+        """rings._push_arrays_batch == M sequential pushes, across empty
+        rings, eps-duplicates, invalid rows, capacity overflow, and a
+        first-sample regression (its stated precondition: nondecreasing t
+        over valid rows)."""
+        from elimaloc_tpu.pipeline.rings import push_ego_batch, push_imu_batch
+
+        rng = np.random.default_rng(5)
+        for trial in range(30):
+            m = int(rng.integers(1, 9))
+            cap = int(rng.integers(m, 13))  # precondition: M <= capacity
+            # pre-fill 0..cap existing entries at increasing times
+            n0 = int(rng.integers(0, cap + 1))
+            r_seq = make_ego_ring(cap, jnp.float64)
+            z = jnp.zeros(3, jnp.float64)
+            for i in range(n0):
+                r_seq = push_ego(r_seq, jnp.float64(i * 0.5), z + i, z, z, z)
+            r_bat = r_seq
+            # batch: sorted times, some duplicated (eps reject), some
+            # invalid; occasionally start BEFORE the ring's last (regress)
+            start = (n0 - 1) * 0.5 + (0.3 if rng.random() < 0.7 else -0.4)
+            ts = np.sort(start + np.cumsum(
+                rng.choice([0.0, 0.25], size=m, p=[0.3, 0.7])))
+            valid = rng.random(m) < 0.8
+            vals = rng.normal(size=(m, 3))
+            for i in range(m):
+                if valid[i]:
+                    r_seq = push_ego(r_seq, jnp.float64(ts[i]),
+                                     jnp.asarray(vals[i]), z, z, z)
+            r_bat = push_ego_batch(
+                r_bat, jnp.asarray(ts), jnp.asarray(vals),
+                jnp.zeros((m, 3)), jnp.zeros((m, 3)), jnp.zeros((m, 3)),
+                jnp.asarray(valid))
+            assert int(r_bat.count) == int(r_seq.count), (trial, ts, valid)
+            c = int(r_seq.count)
+            np.testing.assert_array_equal(
+                np.asarray(r_bat.t[:c]), np.asarray(r_seq.t[:c]))
+            np.testing.assert_array_equal(
+                np.asarray(r_bat.pos[:c]), np.asarray(r_seq.pos[:c]))
+        # imu ring smoke (eps=0 path)
+        ri_s = make_imu_ring(6, jnp.float64)
+        ri_b = ri_s
+        ts = jnp.asarray([0.1, 0.1, 0.2, 0.3])
+        g = jnp.arange(12.0).reshape(4, 3)
+        for i in range(4):
+            ri_s = push_imu(ri_s, ts[i], g[i], g[i])
+        ri_b = push_imu_batch(ri_b, ts, g, g, jnp.ones(4, bool))
+        assert int(ri_b.count) == int(ri_s.count)
+        np.testing.assert_array_equal(np.asarray(ri_b.gyro),
+                                      np.asarray(ri_s.gyro))
+
+    def test_imu_subbatch_matches_sequential_steps(self):
+        """runtime.imu_subbatch == scanning imu_step per sample (the fused
+        frame's IMU chain was restructured for TPU launch count; the
+        trajectory-visible state must be unchanged)."""
+        import jax
+
+        from elimaloc_tpu.pipeline.runtime import (
+            _select_state, imu_step, imu_subbatch,
+        )
+
+        world = make_world(seed=3, extent=60.0, n_ground=40_000,
+                           n_wall=20_000)
+        cfg = ElimalocConfig()
+        pipe = LocalizationPipeline(
+            cfg, world, ds_points=512,
+            tile_budget=TileQueryBudget(qb=8, max_slots=256),
+            use_native=False, ego_ring_size=32, imu_ring_size=16,
+        )
+        st = pipe.reset()
+        rng = np.random.default_rng(9)
+        m = 7
+        b = {
+            "imu_t": jnp.asarray(0.01 + np.arange(m) * 0.01, pipe.dtype),
+            "imu_acc": jnp.asarray(
+                rng.normal([0, 0, 9.81], 0.05, (m, 3)), pipe.dtype),
+            "imu_gyro": jnp.asarray(rng.normal(0, 0.02, (m, 3)), pipe.dtype),
+            "imu_valid": jnp.asarray([True] * 5 + [False] * 2),
+        }
+        seq = st
+        for i in range(m):
+            s2 = imu_step(seq, b["imu_t"][i], b["imu_acc"][i],
+                          b["imu_gyro"][i], pipe.params, pipe.static)
+            seq = _select_state(b["imu_valid"][i], s2, seq)
+        bat = imu_subbatch(st, b, pipe.params, pipe.static)
+        for name in ("pos", "rot", "vel", "P", "prev_timestamp"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(bat.ekf, name)),
+                np.asarray(getattr(seq.ekf, name)), rtol=0, atol=1e-12,
+                err_msg=name)
+        assert int(bat.ego_ring.count) == int(seq.ego_ring.count)
+        assert int(bat.imu_ring.count) == int(seq.imu_ring.count)
+        for ring in ("ego_ring", "imu_ring"):
+            for leaf in ("t",):
+                np.testing.assert_allclose(
+                    np.asarray(getattr(getattr(bat, ring), leaf)),
+                    np.asarray(getattr(getattr(seq, ring), leaf)),
+                    atol=1e-12, err_msg=f"{ring}.{leaf}")
+        np.testing.assert_allclose(
+            np.asarray(bat.ego_ring.pos), np.asarray(seq.ego_ring.pos),
+            atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(bat.ego_ring.rpy), np.asarray(seq.ego_ring.rpy),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(bat.ego_ring.vel_local),
+            np.asarray(seq.ego_ring.vel_local), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(bat.imu_ring.gyro), np.asarray(seq.imu_ring.gyro),
+            atol=1e-7)
+
     def test_interpolated_pose(self):
         r = make_ego_ring(16, jnp.float64)
         z = jnp.zeros(3, jnp.float64)

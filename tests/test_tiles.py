@@ -204,6 +204,52 @@ class TestSlotStaleness:
             np.asarray(res_t.pose)[:3, 3], np.asarray(res_h.pose)[:3, 3],
             rtol=0, atol=0.02)
 
+    def test_avgicp_reassign_matches_hash_tightly(self):
+        """AVGICP sums ALL 7 face-adjacent voxel covs, so halo-edge pairs
+        lost to a stale initial-guess assignment are a systematic bias
+        (round 4: 1.9-13.4 mm vs the hash backend at 0.3 m init error).
+        With the default per-iteration reassignment (IcpStatic.
+        reassign_each_iter) the tile backend must track the hash backend to
+        ~micrometres — the hash path reassigns implicitly every iteration."""
+        from elimaloc_tpu.config import IcpMethod, PcmConfig
+        from elimaloc_tpu.register import (
+            make_icp_params,
+            make_icp_static,
+            run_register,
+        )
+
+        rng = np.random.default_rng(23)
+        world = self._world(rng)
+        built = build_voxel_map(world, 1.0, 60, use_native=False,
+                                compute_voxel_cov=True)
+        tmap = build_tile_map(built, tile_voxels=4).to_device(
+            dtype=jnp.float64)
+        hmap = to_device(built, dtype=jnp.float64)
+        scan = world[rng.choice(len(world), 3000, replace=False)]
+        true_pose = np.eye(4)
+        true_pose[:3, 3] = [1.0, 2.0, 0.0]
+        src = jnp.asarray(scan - true_pose[:3, 3])
+        sv = jnp.ones(len(scan), bool)
+        cfg = PcmConfig(icp_method=IcpMethod.AVGICP, max_iteration=20,
+                        max_fitness_score=2.0)
+        params = make_icp_params(cfg, dtype=jnp.float64)
+        st_tile = make_icp_static(
+            cfg, backend="tile",
+            tile_budget=tiles.TileQueryBudget(qb=32, max_slots=512))
+        assert st_tile.reassign_each_iter  # the AVGICP default
+        st_hash = make_icp_static(cfg, backend="hash")
+        for off in ((0.3, 0.0, 0.0), (0.0, -0.3, 0.05), (-0.25, 0.25, 0.0)):
+            init = true_pose.copy()
+            init[:3, 3] += off
+            res_t = jax.jit(run_register, static_argnums=5)(
+                src, sv, tmap, jnp.asarray(init), params, st_tile)
+            res_h = jax.jit(run_register, static_argnums=5)(
+                src, sv, hmap, jnp.asarray(init), params, st_hash)
+            assert bool(res_t.success) and bool(res_h.success)
+            gap = np.linalg.norm(np.asarray(res_t.pose)[:3, 3]
+                                 - np.asarray(res_h.pose)[:3, 3])
+            assert gap < 1e-4, f"off={off}: tile-vs-hash {gap * 1e3:.3f} mm"
+
     def test_overflowed_budget_reports_dropped(self):
         from elimaloc_tpu.config import IcpMethod, PcmConfig
         from elimaloc_tpu.register import (

@@ -45,11 +45,15 @@ def census(hlo_text):
         if cur is None or not s or s == "}" or " = " not in s:
             continue
         rhs = s.split(" = ", 1)[1].strip()
-        # rhs: "<shape with spaces/braces> <opcode>(...)" — the opcode is
-        # the last bare token before the first '('
-        head = rhs.split("(", 1)[0].strip()
-        op = head.split(" ")[-1] if head else ""
-        if not re.fullmatch(r"[a-z][\w\-]*", op) or op in SKIP:
+        # rhs: "<shape> <opcode>(...)" — TPU layout blocks ({1,0:T(8,128)})
+        # contain parens, so strip every {...} before finding the first
+        # opcode-like token immediately followed by '('
+        rhs = re.sub(r"\{[^}]*\}", "", rhs)
+        m = re.search(r"(?:^|[\s\)])([a-z][\w\-]*)\(", rhs)
+        if not m:
+            continue
+        op = m.group(1)
+        if op in SKIP:
             continue
         cur[op] += 1
     return comps
