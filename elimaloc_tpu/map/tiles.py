@@ -78,6 +78,13 @@ class TileMap:
     # grid geometry stays static). run_register conjugates poses by it.
     origin: jnp.ndarray = None               # [2] f32 (x, y), 0 for full maps
 
+    # Window anchor in TILE units relative to ``origin`` — zeros for full
+    # maps and fresh crops. Incremental window shifts (:func:`shift_window`)
+    # keep the coordinate origin FIXED (retained tile rows then need no
+    # coordinate rewrite, only a device-side row roll) and move this anchor
+    # instead; a dynamic leaf like ``origin``, so shifts never recompile.
+    tile_anchor: jnp.ndarray = None          # [2] int32, 0 for full maps
+
     @property
     def num_tiles(self) -> int:
         return self.tx_dim * self.ty_dim
@@ -300,6 +307,7 @@ class HostTileMap:
             tx_dim=self.tx_dim,
             ty_dim=self.ty_dim,
             origin=jnp.asarray(self.world_offset, dtype=dtype),
+            tile_anchor=jnp.zeros(2, jnp.int32),
         )
 
     def drop_page_cache(self):
@@ -328,6 +336,53 @@ class HostTileMap:
         x0 = int(np.clip(cx - nx // 2, self.tx0, self.tx0 + self.tx_dim - nx))
         y0 = int(np.clip(cy - ny // 2, self.ty0, self.ty0 + self.ty_dim - ny))
         return x0, y0
+
+    def _origin_offsets(self, anchor, offset_dtype=np.float32):
+        """(coordinate shift, voxel-coordinate shift) for a window whose
+        coordinate origin is tile ``anchor``. Quantized to the DEVICE dtype:
+        the same value must be subtracted host-side and added back by
+        run_register's origin conjugation, or city-scale coordinates
+        (~1e6 m, f32 ulp ~0.06 m) pick up a per-window pose bias."""
+        off = np.array([anchor[0] * self.tile_size,
+                        anchor[1] * self.tile_size])
+        off = off.astype(offset_dtype).astype(np.float64)
+        voff = (np.array(anchor)
+                * int(round(self.tile_size / self.voxel_size)))
+        return off, voff
+
+    def _pack_rows(self, rows, off, voff):
+        """Gather full-map halo rows ``rows`` (sentinel index allowed) and
+        shift their coordinates into the origin frame given by
+        (``off``, ``voff``) — the shared kernel of :meth:`crop_window`
+        (all window rows) and :meth:`crop_entering_rows` (the few rows an
+        incremental shift must upload)."""
+        def sel(a):
+            return None if a is None else a[rows]
+
+        def shift_xy(a, o, sentinel=None):
+            if a is None:
+                return None
+            a = a.copy()
+            # padded entries (coord sentinel) must KEEP their sentinel
+            # value: the voxel paths test coords against _COORD_SENTINEL
+            # exactly, and a shifted pad would read as occupied (NaN means
+            # downstream)
+            keep = None if sentinel is None else (a[..., 0] == sentinel)
+            a[..., 0] -= o[0]
+            a[..., 1] -= o[1]
+            if keep is not None:
+                a[keep] = sentinel
+            return a
+
+        return dict(
+            halo_points=shift_xy(sel(self.halo_points), off),
+            halo_point_cov=sel(self.halo_point_cov),
+            halo_point_cov_mean=shift_xy(sel(self.halo_point_cov_mean), off),
+            halo_vox_mean=shift_xy(sel(self.halo_vox_mean), off),
+            halo_vox_cov=sel(self.halo_vox_cov),
+            halo_vox_coord=shift_xy(sel(self.halo_vox_coord), voff,
+                                    sentinel=_COORD_SENTINEL),
+        )
 
     def crop_window(self, center_xy, radius_tiles: int,
                     dims: Optional[tuple] = None,
@@ -366,41 +421,12 @@ class HostTileMap:
             & (gy[None, :] >= 0) & (gy[None, :] < self.ty_dim)
         rows = gx[:, None] * self.ty_dim + gy[None, :]
         rows = np.where(in_map, rows, t_full).reshape(-1)
+        rows = np.concatenate([rows, [t_full]])  # + sentinel row
 
-        # Quantize the offset to the DEVICE dtype before shifting: the same
-        # value must be subtracted host-side and added back by run_register's
-        # origin conjugation, or city-scale coordinates (~1e6 m, f32 ulp
-        # ~0.06 m) pick up a per-window pose bias.
-        off = np.array([x0 * self.tile_size, y0 * self.tile_size])
-        off = off.astype(offset_dtype).astype(np.float64)
-        voff = np.array([x0, y0]) * int(round(self.tile_size / self.voxel_size))
-
-        def sel(a):
-            return None if a is None else np.concatenate(
-                [a[rows], a[-1:]], axis=0)  # + sentinel row
-
-        def shift_xy(a, o, sentinel=None):
-            if a is None:
-                return None
-            a = a.copy()
-            # padded entries (coord sentinel) must KEEP their sentinel value:
-            # the voxel paths test coords against _COORD_SENTINEL exactly,
-            # and a shifted pad would read as occupied (NaN means downstream)
-            keep = None if sentinel is None else (a[..., 0] == sentinel)
-            a[..., 0] -= o[0]
-            a[..., 1] -= o[1]
-            if keep is not None:
-                a[keep] = sentinel
-            return a
-
+        off, voff = self._origin_offsets((x0, y0), offset_dtype)
+        packed = self._pack_rows(rows, off, voff)
         return HostTileMap(
-            halo_points=shift_xy(sel(self.halo_points), off),
-            halo_point_cov=sel(self.halo_point_cov),
-            halo_point_cov_mean=shift_xy(sel(self.halo_point_cov_mean), off),
-            halo_vox_mean=shift_xy(sel(self.halo_vox_mean), off),
-            halo_vox_cov=sel(self.halo_vox_cov),
-            halo_vox_coord=shift_xy(sel(self.halo_vox_coord), voff,
-                                    sentinel=_COORD_SENTINEL),
+            **packed,
             voxel_size=self.voxel_size,
             tile_size=self.tile_size,
             tx0=0,
@@ -410,9 +436,108 @@ class HostTileMap:
             world_offset=(float(off[0]), float(off[1])),
         )
 
+    def crop_entering_rows(self, old_anchor, new_anchor, dims,
+                           origin_anchor, r_pad: int,
+                           offset_dtype=np.float32):
+        """The rows an incremental window shift ``old_anchor ->
+        new_anchor`` must upload: window rows (new layout) whose source
+        tile was not resident before. Coordinates are shifted by
+        ``origin_anchor`` — the FIXED origin of the incrementally-
+        maintained window (see :func:`shift_window`), NOT the new anchor —
+        so entering rows are bit-identical to a fresh crop at that origin.
+        Returns ``(dst_rows [r_pad] int32, payload dict)``; pad entries
+        point past the sentinel row and are dropped by the device scatter.
+        """
+        nx, ny = dims
+        dx = new_anchor[0] - old_anchor[0]
+        dy = new_anchor[1] - old_anchor[1]
+        ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        src_i, src_j = ii + dx, jj + dy
+        entering = ((src_i < 0) | (src_i >= nx)
+                    | (src_j < 0) | (src_j >= ny))
+        wrows = np.nonzero(entering.reshape(-1))[0].astype(np.int32)
+        if len(wrows) > r_pad:
+            raise ValueError(
+                f"entering rows {len(wrows)} exceed pad budget {r_pad} "
+                f"(shift ({dx},{dy}) on {nx}x{ny})"
+            )
+        gx = new_anchor[0] + (wrows // ny) - self.tx0
+        gy = new_anchor[1] + (wrows % ny) - self.ty0
+        t_full = self.tx_dim * self.ty_dim
+        in_map = ((gx >= 0) & (gx < self.tx_dim)
+                  & (gy >= 0) & (gy < self.ty_dim))
+        rows_full = np.where(in_map, gx * self.ty_dim + gy, t_full)
+        off, voff = self._origin_offsets(origin_anchor, offset_dtype)
+        packed = self._pack_rows(rows_full, off, voff)
+
+        def pad(a):
+            if a is None:
+                return None
+            out = np.zeros((r_pad,) + a.shape[1:], a.dtype)
+            out[: len(a)] = a
+            return out
+
+        dst = np.full(r_pad, nx * ny + 1, np.int32)  # pad -> dropped
+        dst[: len(wrows)] = wrows
+        return dst, {k: pad(v) for k, v in packed.items()}
+
 
 # --------------------------------------------------------------------------- #
 # Slot assignment: sort queries by tile, pack into [max_slots, qb] blocks
+def _shift_window_impl(tmap: TileMap, dx, dy, dst_rows, payload) -> TileMap:
+    nx, ny = tmap.tx_dim, tmap.ty_dim
+    t = nx * ny
+    i = jnp.arange(nx, dtype=jnp.int32)[:, None]
+    j = jnp.arange(ny, dtype=jnp.int32)[None, :]
+    si, sj = i + dx, j + dy
+    ok = (si >= 0) & (si < nx) & (sj >= 0) & (sj < ny)
+    # retained rows gather from their pre-shift position; vacated rows read
+    # the sentinel (then the entering-row scatter overwrites the real ones)
+    src = jnp.where(ok, si * ny + sj, t).reshape(-1)
+    src = jnp.concatenate([src, jnp.array([t], jnp.int32)])  # sentinel stays
+
+    def move(a, rows_new):
+        if a is None:
+            return None
+        rolled = a[src]
+        return rolled.at[dst_rows].set(
+            jnp.asarray(rows_new, a.dtype), mode="drop")
+
+    anchor = tmap.tile_anchor + jnp.stack([dx, dy]).astype(jnp.int32)
+    return tmap.replace(
+        halo_points=move(tmap.halo_points, payload["halo_points"]),
+        halo_point_cov=move(tmap.halo_point_cov, payload["halo_point_cov"]),
+        halo_point_cov_mean=move(tmap.halo_point_cov_mean,
+                                 payload["halo_point_cov_mean"]),
+        halo_vox_mean=move(tmap.halo_vox_mean, payload["halo_vox_mean"]),
+        halo_vox_cov=move(tmap.halo_vox_cov, payload["halo_vox_cov"]),
+        halo_vox_coord=move(tmap.halo_vox_coord, payload["halo_vox_coord"]),
+        tile_anchor=anchor,
+    )
+
+
+_shift_window_jit = jax.jit(_shift_window_impl)
+
+
+def shift_window(tmap: TileMap, dx: int, dy: int, dst_rows, payload) -> TileMap:
+    """Move a resident device window by (dx, dy) tiles WITHOUT re-uploading
+    it: retained tile rows roll on device (one contiguous-row gather — rows
+    are the cheap gather shape on TPU), the entering rows from
+    :meth:`HostTileMap.crop_entering_rows` scatter in (the only H2D), and
+    the dynamic ``tile_anchor`` leaf advances while the coordinate
+    ``origin`` stays FIXED — so retained coordinates are untouched bits and
+    the result is bit-identical to a fresh crop sharing that origin. H2D
+    shrinks from the full window to ``O(shift * window_side)`` rows
+    (~15-30% for 1-2 tile shifts at default sizes); precision-wise,
+    window-local coordinates grow with total drift from the origin — the
+    runtime re-crops (re-centering the origin) past ~2 km, two orders of
+    magnitude before f32 ulp reaches the voxel scale."""
+    return _shift_window_jit(
+        tmap, jnp.asarray(dx, jnp.int32), jnp.asarray(dy, jnp.int32),
+        jnp.asarray(dst_rows), payload,
+    )
+
+
 # --------------------------------------------------------------------------- #
 
 @struct.dataclass
@@ -430,19 +555,24 @@ def assign_slots(tmap: TileMap, queries, valid, budget: TileQueryBudget) -> Slot
     qb, s = budget.qb, budget.max_slots
     t_sent = tmap.sentinel
 
+    # effective tile-grid origin: static tx0/ty0 plus the dynamic window
+    # anchor (zeros for full maps; traced i32 for incrementally-shifted
+    # windows — see shift_window)
+    ax0 = tmap.tx0 if tmap.tile_anchor is None else tmap.tx0 + tmap.tile_anchor[0]
+    ay0 = tmap.ty0 if tmap.tile_anchor is None else tmap.ty0 + tmap.tile_anchor[1]
     qv = jnp.floor(queries / tmap.voxel_size).astype(jnp.int32)
-    tx = jnp.floor(queries[:, 0] / tmap.tile_size).astype(jnp.int32) - tmap.tx0
-    ty = jnp.floor(queries[:, 1] / tmap.tile_size).astype(jnp.int32) - tmap.ty0
+    tx = jnp.floor(queries[:, 0] / tmap.tile_size).astype(jnp.int32) - ax0
+    ty = jnp.floor(queries[:, 1] / tmap.tile_size).astype(jnp.int32) - ay0
     # A query up to one voxel OUTSIDE the tile grid still reaches in-grid
     # voxels with its 27-voxel cube (hash-grid semantics); clamp its tile to
     # the edge — the edge tile's halo holds exactly the reachable voxels and
     # the cube mask rejects the rest. Farther out the cube is provably empty.
     tv = int(round(tmap.tile_size / tmap.voxel_size))
     in_reach = (
-        (qv[:, 0] >= tmap.tx0 * tv - 1)
-        & (qv[:, 0] <= (tmap.tx0 + tmap.tx_dim) * tv)
-        & (qv[:, 1] >= tmap.ty0 * tv - 1)
-        & (qv[:, 1] <= (tmap.ty0 + tmap.ty_dim) * tv)
+        (qv[:, 0] >= ax0 * tv - 1)
+        & (qv[:, 0] <= (ax0 + tmap.tx_dim) * tv)
+        & (qv[:, 1] >= ay0 * tv - 1)
+        & (qv[:, 1] <= (ay0 + tmap.ty_dim) * tv)
     )
     tx = jnp.clip(tx, 0, tmap.tx_dim - 1)
     ty = jnp.clip(ty, 0, tmap.ty_dim - 1)
@@ -496,8 +626,10 @@ def _slot_centers(tmap: TileMap, slot_tile, dtype):
     coordinates so the MXU |q|^2 - 2 q.c + |c|^2 expansion keeps full f32
     precision at map-scale coordinates (z is left global: vehicle maps are
     z-shallow)."""
-    tx = (slot_tile // tmap.ty_dim + tmap.tx0).astype(dtype)
-    ty = (slot_tile % tmap.ty_dim + tmap.ty0).astype(dtype)
+    ax0 = tmap.tx0 if tmap.tile_anchor is None else tmap.tx0 + tmap.tile_anchor[0]
+    ay0 = tmap.ty0 if tmap.tile_anchor is None else tmap.ty0 + tmap.tile_anchor[1]
+    tx = (slot_tile // tmap.ty_dim + ax0).astype(dtype)
+    ty = (slot_tile % tmap.ty_dim + ay0).astype(dtype)
     zeros = jnp.zeros_like(tx)
     return jnp.stack(
         [(tx + 0.5) * tmap.tile_size, (ty + 0.5) * tmap.tile_size, zeros], axis=-1

@@ -319,6 +319,124 @@ class TestMapWindow:
         np.testing.assert_allclose(np.asarray(tgt_f), tgt_w_world,
                                    rtol=0, atol=1e-5)
 
+    def test_incremental_shift_bit_identical(self):
+        """tiles.shift_window: an incrementally-maintained window (device
+        row roll + entering-row scatter, FIXED coordinate origin) must be
+        bit-identical to packing the same tile rows fresh at that origin —
+        across multi-step shift chains, both axes, map-edge clipping, and
+        the 1/2/3-tile shift buckets."""
+        rng = np.random.default_rng(41)
+        pts = rng.uniform(-40, 40, (30_000, 3)) * np.array([1, 1, 0.08])
+        built = build_voxel_map(pts, 1.0, 20, use_native=False,
+                                compute_voxel_cov=True)
+        host = build_tile_map(built, tile_voxels=4)
+        dims = (7, 7)
+        c0 = np.array([-20.0, -20.0])
+        origin_anchor = host.window_anchor(c0, dims)
+        dev = host.crop_window(c0, 3, dims=dims).to_device()
+        anchor = origin_anchor
+        t_full = host.tx_dim * host.ty_dim
+        # a drive across the map: mixed-axis shifts incl. a 3-tile jump and
+        # an edge-clamped segment
+        for step in [(1, 0), (1, 1), (0, 2), (3, 1), (2, 2), (1, 0)]:
+            new_anchor = (
+                int(np.clip(anchor[0] + step[0], host.tx0,
+                            host.tx0 + host.tx_dim - dims[0])),
+                int(np.clip(anchor[1] + step[1], host.ty0,
+                            host.ty0 + host.ty_dim - dims[1])),
+            )
+            k = max(abs(new_anchor[0] - anchor[0]),
+                    abs(new_anchor[1] - anchor[1]))
+            if k == 0:
+                anchor = new_anchor
+                continue
+            r_pad = k * (dims[0] + dims[1])
+            dst, payload = host.crop_entering_rows(
+                anchor, new_anchor, dims, origin_anchor, r_pad)
+            dev = tiles.shift_window(
+                dev, new_anchor[0] - anchor[0], new_anchor[1] - anchor[1],
+                dst, payload)
+            anchor = new_anchor
+
+            # expected: the same rows packed fresh with the SAME origin
+            gx = np.arange(anchor[0] - host.tx0, anchor[0] - host.tx0 + dims[0])
+            gy = np.arange(anchor[1] - host.ty0, anchor[1] - host.ty0 + dims[1])
+            in_map = (gx[:, None] >= 0) & (gx[:, None] < host.tx_dim) \
+                & (gy[None, :] >= 0) & (gy[None, :] < host.ty_dim)
+            rows = np.where(in_map, gx[:, None] * host.ty_dim + gy[None, :],
+                            t_full).reshape(-1)
+            rows = np.concatenate([rows, [t_full]])
+            off, voff = host._origin_offsets(origin_anchor)
+            exp = host._pack_rows(rows, off, voff)
+            for name, e in exp.items():
+                if e is None:
+                    continue
+                got = np.asarray(getattr(dev, name))
+                np.testing.assert_array_equal(
+                    got, e.astype(got.dtype), err_msg=f"{name} @ {anchor}")
+            np.testing.assert_array_equal(
+                np.asarray(dev.tile_anchor),
+                np.array(anchor) - np.array(origin_anchor))
+
+    def test_incremental_shift_icp_matches_fresh_crop(self):
+        """ICP against an incrementally-shifted window == ICP against a
+        fresh crop at the same anchor (different coordinate origins; the
+        origin conjugation must absorb the difference)."""
+        from elimaloc_tpu.config import IcpMethod, PcmConfig
+        from elimaloc_tpu.register import (
+            make_icp_params,
+            make_icp_static,
+            run_register,
+        )
+
+        rng = np.random.default_rng(42)
+        pts = rng.uniform(-40, 40, (40_000, 3)) * np.array([1, 1, 0.08])
+        built = build_voxel_map(pts, 1.0, 20, use_native=False)
+        host = build_tile_map(built, tile_voxels=4)
+        dims = (9, 9)
+        origin_anchor = host.window_anchor(np.array([-10.0, -10.0]), dims)
+        dev = host.crop_window(np.array([-10.0, -10.0]), 4,
+                               dims=dims).to_device(dtype=jnp.float64)
+        anchor = origin_anchor
+        for target in ([-2.0, -6.0], [6.0, 2.0]):
+            new_anchor = host.window_anchor(np.array(target), dims)
+            k = max(abs(new_anchor[0] - anchor[0]),
+                    abs(new_anchor[1] - anchor[1]))
+            dst, payload = host.crop_entering_rows(
+                anchor, new_anchor, dims, origin_anchor,
+                k * (dims[0] + dims[1]), offset_dtype=np.float64)
+            dev = tiles.shift_window(
+                dev, new_anchor[0] - anchor[0], new_anchor[1] - anchor[1],
+                dst, payload)
+            anchor = new_anchor
+        fresh = host.crop_window(np.array([6.0, 2.0]),
+                                 4, dims=dims).to_device(dtype=jnp.float64)
+
+        true_pose = np.eye(4)
+        true_pose[:3, 3] = [6.0, 2.0, 0.0]
+        sel = pts[np.linalg.norm(pts[:, :2] - true_pose[:2, 3], axis=1) < 12]
+        scan = sel[rng.choice(len(sel), 2000, replace=False)]
+        src = jnp.asarray(scan - true_pose[:3, 3])
+        sv = jnp.ones(len(scan), bool)
+        init = true_pose.copy()
+        init[:3, 3] += [0.3, -0.2, 0.05]
+        cfg = PcmConfig(icp_method=IcpMethod.P2P, max_iteration=15)
+        params = make_icp_params(cfg, dtype=jnp.float64)
+        static = make_icp_static(
+            cfg, backend="tile",
+            tile_budget=TileQueryBudget(qb=16, max_slots=512))
+        res_i = jax.jit(run_register, static_argnums=5)(
+            src, sv, dev, jnp.asarray(init), params, static)
+        res_f = jax.jit(run_register, static_argnums=5)(
+            src, sv, fresh, jnp.asarray(init), params, static)
+        assert bool(res_i.success) and bool(res_f.success)
+        # different coordinate origins change f64 rounding in the distance
+        # sums -> slightly different GN trajectories; a micrometer bound is
+        # far below any localization tolerance
+        np.testing.assert_allclose(
+            np.asarray(res_i.pose), np.asarray(res_f.pose), rtol=0,
+            atol=1e-6)
+
     def test_windowed_icp_matches_full_map(self):
         from elimaloc_tpu.config import IcpMethod, PcmConfig
         from elimaloc_tpu.register import (
