@@ -110,23 +110,32 @@ class TileQueryBudget:
         return self
 
 
-def _halo_membership(vox_xy, tile_voxels, tx0, ty0, tx_dim, ty_dim):
+def _halo_membership(vox_xy, tile_voxels, tx0, ty0, tx_dim, ty_dim,
+                     margin: int = 1):
     """(tile_row, item_idx) pairs: item k belongs to the halo of every tile
-    whose (tile +- 1 voxel) footprint contains its voxel column.
+    whose (tile +- ``margin`` voxels) footprint contains its voxel column.
 
-    A voxel at in-tile offset 0 also serves the -1 neighbor, offset tv-1 the
-    +1 neighbor (both, per axis, when tile_voxels == 1)."""
+    margin=1 is the exact reach of an IN-TILE query's 27-voxel cube; a
+    voxel at in-tile offset < margin also serves the -1 neighbor, offset
+    >= tv - margin the +1 neighbor (both, per axis, when they overlap).
+    margin=2 keeps the cube covered for queries that have DRIFTED up to one
+    voxel outside their assigned tile — what lets AVGICP hoist the slot
+    assignment out of the GN loop without the halo-edge candidate loss
+    (BENCH_NOTES round-4 AVGICP root cause). Requires margin <= tile_voxels
+    (a wider margin would need +-2 tile membership)."""
     tv = tile_voxels
+    if not 1 <= margin <= tv:
+        raise ValueError(f"halo margin {margin} must be in [1, {tv}]")
     vx, vy = vox_xy[:, 0], vox_xy[:, 1]
     tx, ty = vx // tv, vy // tv
     ox, oy = vx - tx * tv, vy - ty * tv
     rows, idxs = [], []
     for dx in (-1, 0, 1):
         mx = (np.ones_like(ox, bool) if dx == 0
-              else (ox == 0) if dx == -1 else (ox == tv - 1))
+              else (ox < margin) if dx == -1 else (ox >= tv - margin))
         for dy in (-1, 0, 1):
             my = (np.ones_like(oy, bool) if dy == 0
-                  else (oy == 0) if dy == -1 else (oy == tv - 1))
+                  else (oy < margin) if dy == -1 else (oy >= tv - margin))
             gx, gy = tx + dx - tx0, ty + dy - ty0
             ok = (mx & my & (gx >= 0) & (gx < tx_dim)
                   & (gy >= 0) & (gy < ty_dim))
@@ -162,7 +171,7 @@ def _pack_halo(rows, idxs, t, fills_payloads, out_path=None):
 
 
 def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
-                   storage_dir=None) -> "HostTileMap":
+                   storage_dir=None, halo_margin: int = 1) -> "HostTileMap":
     """Re-block a BuiltMap into per-tile halo candidate tensors (host side).
 
     ``storage_dir``: back the packed tensors with ``np.memmap`` files there
@@ -170,6 +179,11 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
     ~1.5-4 GB of halo tensors; the active-window pipeline only ever reads
     the resident window's rows, so the host footprint stays at window size).
     Reopen later with :func:`load_tile_map`.
+
+    ``halo_margin``: voxels of halo growth per tile (see
+    :func:`_halo_membership`). 1 covers in-tile queries exactly; 2 keeps
+    hoisted slot assignments exact under up to one voxel of GN pose drift
+    (AVGICP) at ~1.8x the candidate count.
     """
     import json
     import pathlib
@@ -192,7 +206,8 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
 
     # --- voxel-level halo blocks ---
     vrows, vidxs = _halo_membership(
-        built.vox_coords[:, :2], tile_voxels, tx0, ty0, tx_dim, ty_dim)
+        built.vox_coords[:, :2], tile_voxels, tx0, ty0, tx_dim, ty_dim,
+        margin=halo_margin)
     halo_vox_mean, halo_vox_cov, halo_vox_coord = _pack_halo(
         vrows, vidxs, t,
         [
@@ -211,7 +226,7 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
     pt_vox = np.repeat(np.arange(v), m).reshape(v, m)[pt_mask]
     prows, pidxs = _halo_membership(
         built.vox_coords[pt_vox][:, :2], tile_voxels, tx0, ty0,
-        tx_dim, ty_dim)
+        tx_dim, ty_dim, margin=halo_margin)
     payloads = [("halo_points", np.inf, flat_pts)]
     if built.point_cov is not None:
         payloads += [
@@ -228,6 +243,7 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
     if out_path is not None:
         meta = dict(voxel_size=float(vs), tile_size=float(ts), tx0=tx0,
                     ty0=ty0, tx_dim=tx_dim, ty_dim=ty_dim,
+                    halo_margin=int(halo_margin),
                     has_point_cov=built.point_cov is not None)
         (out_path / "meta.json").write_text(json.dumps(meta))
         for b in packed + [halo_vox_mean, halo_vox_cov, halo_vox_coord]:
@@ -246,6 +262,7 @@ def build_tile_map(built: BuiltMap, tile_voxels: int = 4,
         ty0=ty0,
         tx_dim=tx_dim,
         ty_dim=ty_dim,
+        halo_margin=int(halo_margin),
     )
 
 
@@ -261,6 +278,7 @@ def load_tile_map(storage_dir, mmap: bool = True) -> "HostTileMap":
 
     p = pathlib.Path(storage_dir)
     meta = json.loads((p / "meta.json").read_text())
+    meta.setdefault("halo_margin", 1)  # maps persisted before round 5
     mode = "r" if mmap else None
     ld = lambda name: np.load(str(p / f"{name}.npy"), mmap_mode=mode)
     has_cov = meta.pop("has_point_cov")
@@ -290,6 +308,9 @@ class HostTileMap:
     tx_dim: int
     ty_dim: int
     world_offset: tuple = (0.0, 0.0)
+    # halo growth in voxels (see _halo_membership): >= 2 keeps a hoisted
+    # slot assignment exact under up to (margin - 1) voxels of pose drift
+    halo_margin: int = 1
 
     def to_device(self, dtype=jnp.float32) -> TileMap:
         cast = lambda x: None if x is None else jnp.asarray(x, dtype=dtype)
@@ -324,7 +345,9 @@ class HostTileMap:
                 try:
                     mm.madvise(_mmap.MADV_DONTNEED)
                 except (AttributeError, OSError):
-                    return
+                    # keep evicting the OTHER tensors: one transiently
+                    # failing madvise must not silently pin the rest in RSS
+                    continue
 
     def window_anchor(self, center_xy, dims):
         """(x0, y0) tile anchor a crop_window at this center would use —
@@ -434,6 +457,7 @@ class HostTileMap:
             tx_dim=nx,
             ty_dim=ny,
             world_offset=(float(off[0]), float(off[1])),
+            halo_margin=self.halo_margin,
         )
 
     def crop_entering_rows(self, old_anchor, new_anchor, dims,

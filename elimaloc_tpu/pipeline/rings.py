@@ -136,7 +136,15 @@ def _push_arrays_batch(ring, fields, new_t, valid, guard_eps):
     sample (handled: clears like the sequential guard); the eps-dedupe
     acceptance chain is computed exactly with a scalar scan."""
     cap = ring.capacity
-    assert new_t.shape[0] <= cap, (new_t.shape[0], cap)
+    if new_t.shape[0] > cap:
+        # Degrade like the sequential path: M rolling pushes into a cap-deep
+        # ring retain (at most) the last cap samples, so only the last cap
+        # rows can survive — push exactly those. (A pathological dedupe that
+        # rejects some of them could differ from true sequential semantics
+        # by retaining fewer; monotone fused sub-batches never hit that.)
+        new_t = new_t[-cap:]
+        valid = valid[-cap:]
+        fields = {k: v[-cap:] for k, v in fields.items()}
     count0 = ring.count
     has0 = count0 > 0
     last0 = ring.t[jnp.maximum(count0 - 1, 0)]

@@ -143,7 +143,9 @@ def make_pipeline_params(cfg: ElimalocConfig, dtype=jnp.float32) -> PipelinePara
 def make_pipeline_static(cfg: ElimalocConfig, backend: str = "tile",
                          tile_budget=None, ds_points: int = 8192,
                          bug_compat_deskew_z: bool = False,
-                         sub_unroll: int | None = None) -> PipelineStatic:
+                         sub_unroll: int | None = None,
+                         reassign_each_iter: bool | None = None,
+                         ) -> PipelineStatic:
     if sub_unroll is None:
         # dispatch-gap tuning for accelerators; identity-cost on CPU but
         # 4x the compile arena (see PipelineStatic.sub_unroll)
@@ -151,7 +153,8 @@ def make_pipeline_static(cfg: ElimalocConfig, backend: str = "tile",
     return PipelineStatic(
         ekf_flags=EkfFlags.from_config(cfg.ekf),
         icp_static=make_icp_static(cfg.pcm, backend=backend,
-                                   tile_budget=tile_budget),
+                                   tile_budget=tile_budget,
+                                   reassign_each_iter=reassign_each_iter),
         run_deskew=cfg.pcm.run_deskew,
         scan_time_end=cfg.pcm.lidar_scan_time_end,
         bug_compat_deskew_z=bug_compat_deskew_z,
@@ -656,7 +659,8 @@ class LocalizationPipeline:
                  imu_ring_size: int = 512, tile_voxels: int = 4,
                  use_native: bool = True,
                  map_window_radius: Optional[float] = None,
-                 map_window_prefetch: bool = True):
+                 map_window_prefetch: bool = True,
+                 halo_margin: Optional[int] = None):
         """``map_window_radius`` (meters, tile backend only) enables the
         active-window mode for maps too large for HBM: only the
         (2r+1)x(2r+1)-tile window around the vehicle is device-resident,
@@ -664,7 +668,17 @@ class LocalizationPipeline:
         never recompile (window-local coordinates, map/tiles.crop_window).
         Use the event loop (:meth:`run`) or frame streaming
         (:meth:`run_frames`); the single-program :meth:`run_fused` cannot
-        swap maps mid-program."""
+        swap maps mid-program.
+
+        ``halo_margin`` (tile backend): per-tile halo growth in voxels for
+        the packed tile map (map/tiles._halo_membership). Default: 2 for
+        AVGICP — the wider halo keeps the HOISTED slot assignment exact
+        under up to one voxel of GN pose drift, so the method no longer
+        pays a per-iteration re-sort/re-pack for its oracle parity
+        (reference semantics: registration.cpp:310-347 re-looks-up tiles
+        from the current pose each iteration) — and 1 otherwise. Ignored
+        when ``map_points`` is an already-packed HostTileMap (its build-time
+        margin is used)."""
         self.cfg = cfg
         self.dtype = dtype
         method = cfg.pcm.icp_method
@@ -706,10 +720,20 @@ class LocalizationPipeline:
         }
         if prebuilt_tiles is not None and backend != "tile":
             raise ValueError("a HostTileMap input requires the tile backend")
+        reassign = None  # make_icp_static's method-dependent default
         if backend == "tile":
-            host_tmap = prebuilt_tiles if prebuilt_tiles is not None else (
-                map_tiles.build_tile_map(self.built, tile_voxels=tile_voxels)
-            )
+            if prebuilt_tiles is not None:
+                host_tmap = prebuilt_tiles
+            else:
+                if halo_margin is None:
+                    # AVGICP: margin 2 (~1.8x halo candidates) buys back the
+                    # hoisted slot assignment (see __init__ docstring)
+                    halo_margin = 2 if method == IcpMethod.AVGICP else 1
+                host_tmap = map_tiles.build_tile_map(
+                    self.built, tile_voxels=tile_voxels,
+                    halo_margin=halo_margin)
+            if host_tmap.halo_margin >= 2:
+                reassign = False
             if map_window_radius is not None:
                 self._host_tmap = host_tmap
                 self._window_tiles = max(
@@ -727,9 +751,13 @@ class LocalizationPipeline:
             if map_window_radius is not None:
                 raise ValueError("map_window_radius requires the tile backend")
             self.map = map_grid.to_device(self.built, dtype=dtype)
+        # a property of the MAP (constant across config hot-reloads): with a
+        # margin>=2 halo the hoisted assignment is exact for every method
+        self._reassign_override = reassign
         self.params = make_pipeline_params(cfg, dtype=dtype)
         self.static = make_pipeline_static(
-            cfg, backend=backend, tile_budget=tile_budget, ds_points=ds_points
+            cfg, backend=backend, tile_budget=tile_budget,
+            ds_points=ds_points, reassign_each_iter=reassign,
         )
         self._ego_ring_size = ego_ring_size
         self._imu_ring_size = imu_ring_size
@@ -813,48 +841,30 @@ class LocalizationPipeline:
         n = 2 * self._window_tiles + 1
         return (min(n, h.tx_dim), min(n, h.ty_dim))
 
-    def _crop_and_upload(self, center_xy):
-        import time as _time
-
-        t0 = _time.time()
-        host_win = self._host_tmap.crop_window(
-            np.asarray(center_xy, float), self._window_tiles,
-            dims=self._window_dims(),
-            offset_dtype=np.dtype(self.dtype),
-        )
-        t1 = _time.time()
-        dev = host_win.to_device(dtype=self.dtype)
-        jax.block_until_ready(jax.tree_util.tree_leaves(dev))
-        t2 = _time.time()
-        # disk-backed maps: the crop copied everything it needs — release
-        # the touched file pages so serving RSS stays window-bounded.
-        # Deliberately synchronous: deferring it to a thread (tried round 4)
-        # overlapped the eviction with the NEXT prefetch's crop, which
-        # re-faulted the evicted pages mid-read — measured crop_s 0.19 ->
-        # 0.5 s. The madvise itself is cheap next to the H2D.
-        self._host_tmap.drop_page_cache()
-        self.window_stats["crop_s"] += t1 - t0
-        self.window_stats["h2d_s"] += t2 - t1
-        ts = self._host_tmap.tile_size
-        center = np.array(host_win.world_offset) + 0.5 * np.array(
-            [host_win.tx_dim, host_win.ty_dim]) * ts
-        return dev, center
-
     def _adopt_window(self, dev_map, center, anchor, origin_anchor):
         self.map = dev_map
         self._window_center = center
         self._window_offset_tiles = anchor
         self._window_origin_anchor = origin_anchor
 
-    def _build_window(self, center_xy, base_map=None, base_anchor=None,
-                      origin_anchor=None):
-        """``(dev_map, center, anchor, origin_anchor)`` for the window at
-        ``center_xy``. Given a resident window whose move is a small shift,
-        the window moves INCREMENTALLY on device (tiles.shift_window): H2D
-        shrinks to the entering tile rows and retained rows keep their
-        exact bits because the coordinate origin stays fixed. A full crop
-        (which re-centers the origin) is taken for the first window, big
-        jumps (relocalization), and when accumulated drift from the origin
+    def _window_enqueue(self, center_xy, base_map=None, base_anchor=None,
+                        origin_anchor=None):
+        """Build the window at ``center_xy`` and ENQUEUE its device transfer
+        WITHOUT waiting for it: returns ``(dev_map, center, anchor,
+        origin_anchor, host_s)``. The returned pytree is immediately valid
+        to pass into jitted programs — the device stream orders the H2D
+        before any consumer — so adoption never has to stall on transfer
+        completion (round-5 adopt-on-built: joins used to wait 0.05-0.17 s
+        on block_until_ready per swap). Callers MUST follow up with
+        :meth:`_window_finalize` (possibly from another thread) for the
+        h2d accounting + page-cache release.
+
+        Given a resident window whose move is a small shift, the window
+        moves INCREMENTALLY on device (tiles.shift_window): H2D shrinks to
+        the entering tile rows and retained rows keep their exact bits
+        because the coordinate origin stays fixed. A full crop (which
+        re-centers the origin) is taken for the first window, big jumps
+        (relocalization), and when accumulated drift from the origin
         approaches f32-precision limits."""
         import time as _time
 
@@ -871,11 +881,19 @@ class LocalizationPipeline:
             if 0 < k <= _MAX_INCR_SHIFT \
                     and drift * h.tile_size <= _INCR_DRIFT_LIMIT_M:
                 incr = (dx, dy, k)
-        if incr is None:
-            dev, center = self._crop_and_upload(center_xy)
-            return dev, center, anchor, anchor
-        dx, dy, k = incr
         t0 = _time.time()
+        if incr is None:
+            host_win = h.crop_window(
+                np.asarray(center_xy, float), self._window_tiles,
+                dims=dims, offset_dtype=np.dtype(self.dtype),
+            )
+            t1 = _time.time()
+            dev = host_win.to_device(dtype=self.dtype)
+            ts = h.tile_size
+            center = np.array(host_win.world_offset) + 0.5 * np.array(
+                [host_win.tx_dim, host_win.ty_dim]) * ts
+            return dev, center, anchor, anchor, t1 - t0
+        dx, dy, k = incr
         r_pad = k * (dims[0] + dims[1])  # bucketed: <=3 compiled scatters
         dst, payload = h.crop_entering_rows(
             base_anchor, anchor, dims, origin_anchor, r_pad,
@@ -883,15 +901,35 @@ class LocalizationPipeline:
         )
         t1 = _time.time()
         dev = map_tiles.shift_window(base_map, dx, dy, dst, payload)
-        jax.block_until_ready(jax.tree_util.tree_leaves(dev))
-        t2 = _time.time()
-        h.drop_page_cache()
-        self.window_stats["crop_s"] += t1 - t0
-        self.window_stats["h2d_s"] += t2 - t1
         self.window_stats["incr_crops"] += 1
         off, _ = h._origin_offsets(anchor, np.dtype(self.dtype))
         center = off + 0.5 * np.array(dims) * h.tile_size
-        return dev, center, anchor, origin_anchor
+        return dev, center, anchor, origin_anchor, t1 - t0
+
+    def _window_finalize(self, dev, host_s):
+        """Wait out an enqueued window's H2D (accounting) and release the
+        crop's file pages. drop_page_cache is deliberately synchronous with
+        the transfer: deferring it further (tried round 4) overlapped the
+        eviction with the NEXT prefetch's crop, which re-faulted the evicted
+        pages mid-read — measured crop_s 0.19 -> 0.5 s."""
+        import time as _time
+
+        t1 = _time.time()
+        jax.block_until_ready(jax.tree_util.tree_leaves(dev))
+        t2 = _time.time()
+        self._host_tmap.drop_page_cache()
+        self.window_stats["crop_s"] += host_s
+        self.window_stats["h2d_s"] += t2 - t1
+
+    def _build_window(self, center_xy, base_map=None, base_anchor=None,
+                      origin_anchor=None):
+        """Synchronous enqueue + finalize (see :meth:`_window_enqueue`)."""
+        dev, center, anchor, oa, host_s = self._window_enqueue(
+            center_xy, base_map=base_map, base_anchor=base_anchor,
+            origin_anchor=origin_anchor,
+        )
+        self._window_finalize(dev, host_s)
+        return dev, center, anchor, oa
 
     def _set_window(self, center_xy):
         dev, center, anchor, oa = self._build_window(
@@ -911,7 +949,15 @@ class LocalizationPipeline:
     def _start_prefetch(self, pos_xy):
         """Kick off crop + H2D of the window centered at the CURRENT pose in
         a background thread (double buffering: the old window keeps serving
-        frames until the new one is resident)."""
+        frames until the new one is resident).
+
+        Two-stage completion: ``built`` fires as soon as the device transfer
+        is ENQUEUED (the window pytree is valid to adopt — the device stream
+        orders the H2D before any consumer), ``done`` after the transfer has
+        landed and the crop's file pages are released. Adoption waits only
+        for ``built`` (milliseconds of host crop work), so a swap that
+        catches the worker mid-H2D no longer stalls the frame loop for the
+        transfer — the next chunk simply queues behind it on device."""
         import threading
 
         anchor = self._host_tmap.window_anchor(
@@ -926,7 +972,8 @@ class LocalizationPipeline:
                 # tile crossing would mean no prefetch ever completes)
             if pf["anchor"] == anchor:
                 return  # the finished one is already ideal
-        holder = {"anchor": anchor, "done": threading.Event()}
+        holder = {"anchor": anchor, "built": threading.Event(),
+                  "done": threading.Event()}
         center_xy = np.asarray(pos_xy, float).copy()
         # snapshot the resident window on the MAIN thread: adoption may
         # replace self.map while the worker runs
@@ -935,17 +982,18 @@ class LocalizationPipeline:
 
         def work():
             try:
-                dev, center, _, oa = self._build_window(
+                dev, center, _, oa, host_s = self._window_enqueue(
                     center_xy, base_map=base[0], base_anchor=base[1],
                     origin_anchor=base[2],
                 )
-                # force the upload to finish inside the worker so adoption
-                # on the main thread is pointer-swap cheap
-                jax.block_until_ready(jax.tree_util.tree_leaves(dev))
                 holder["map"] = dev
                 holder["center"] = center
                 holder["origin_anchor"] = oa
+                holder["built"].set()
+                self._window_finalize(dev, host_s)
             finally:
+                holder["built"].set()  # no-op if already set; unblocks a
+                # joiner when the ENQUEUE itself raised
                 holder["done"].set()
 
         self._prefetch = holder
@@ -1027,17 +1075,17 @@ class LocalizationPipeline:
             and max(abs(pf["anchor"][0] - anchor[0]),
                     abs(pf["anchor"][1] - anchor[1])) <= slack_tiles
         ):
-            if pf["done"].is_set():
+            if pf["built"].is_set():
                 key = "prefetch_hits"
             else:
                 # the crop is still in flight: JOIN it rather than starting
-                # a from-scratch synchronous crop — the worker has already
-                # paged in part of the window, so the remaining wait is a
-                # fraction of a full crop (matters on starved/1-core hosts,
-                # where the worker rarely wins the race outright)
+                # a from-scratch synchronous crop. Only the BUILT stage is
+                # waited for (host crop + enqueue, milliseconds) — the H2D
+                # itself needs no wait, the device stream orders it before
+                # the next chunk (see _start_prefetch).
                 key = "prefetch_joins"
                 t0 = _time.time()
-                pf["done"].wait()
+                pf["built"].wait()
                 self.window_stats["swap_wait_s"] += _time.time() - t0
             if "map" in pf:  # absent if the worker crashed
                 self._adopt_window(pf["map"], pf["center"], pf["anchor"],
@@ -1063,12 +1111,16 @@ class LocalizationPipeline:
             # interval is the only wall-clock the crop+H2D worker gets, and
             # waiting for the ladder's div>=1 stage to trigger again gives
             # it one consult (~a chunk) of notice — measured round 4: 2 of
-            # 3 chunked-replay swaps stayed synchronous that way. HALF the
-            # lookahead: in fast regimes the next swap lands ~one consult
-            # away, and the full (two-consult) extrapolation overshot the
-            # adoption slack by a tile in the round-4 ladder logs. A wrong
-            # guess just discards the warmed window.
-            self._start_prefetch(pos + 0.5 * np.asarray(lookahead_xy, float))
+            # 3 chunked-replay swaps stayed synchronous that way. The FULL
+            # lookahead: callers now pass a one-consult horizon (the chunked
+            # loop predicts exactly one further chunk), so the warm target
+            # IS the next consult's expected pose — the round-4 halving
+            # (tuned for the old two-consult extrapolation) left the warmed
+            # window a tile short of the next swap's anchor, turning it
+            # synchronous (measured: 1 sync swap + 0.3 s stall per replay,
+            # tools/profile_windowed.py round-5 log). A wrong guess just
+            # discards the warmed window.
+            self._start_prefetch(pos + np.asarray(lookahead_xy, float))
 
     def _ground_from_tiles(self, position_xy, search_range: float = 5.0):
         """FindGroundHeight from the packed tile map (for pipelines built
@@ -1120,6 +1172,7 @@ class LocalizationPipeline:
             ds_points=old_static.ds_points,
             bug_compat_deskew_z=old_static.bug_compat_deskew_z,
             sub_unroll=old_static.sub_unroll,
+            reassign_each_iter=self._reassign_override,
         )
         if self.static == old_static:
             # value-only change: swap the device params pytree; the live jit
@@ -1367,35 +1420,109 @@ class LocalizationPipeline:
         n = len(log.scan_t)
         outs = []
         if chunk is not None and chunk > 1:
-            if chunk not in self._chunk_jits:
-                self._chunk_jits[chunk] = jax.jit(functools.partial(
-                    replay_fused_chunk, ps=self.static, chunk=chunk,
-                ))
-            _cj = self._chunk_jits[chunk]
-            chunk_fn = lambda *a: _cj(*a, pp=self._dev_params)
-            pose_pending = None
-            prev_xy = None
-            for k0 in range(0, n, chunk):
+            def chunk_fn(*a):
+                # looked up PER CHUNK, not captured before the loop: a
+                # mid-run hot-reload that changes a compile-time flag
+                # rebuilds self._chunk_jits (reload_config -> _build_jitted)
+                # and the remaining chunks must run the NEW-flag program —
+                # a stale capture would silently mix old-flag code with
+                # new param values
+                if chunk not in self._chunk_jits:
+                    self._chunk_jits[chunk] = jax.jit(functools.partial(
+                        replay_fused_chunk, ps=self.static, chunk=chunk,
+                    ))
+                return self._chunk_jits[chunk](*a, pp=self._dev_params)
+
+            # FREE-RUNNING dispatch (round 5): the previous loop read one
+            # pose back per chunk, which serialized every chunk with a full
+            # relay round-trip AND consulted the window ladder only at chunk
+            # cadence — at speed the pose skipped from div=0 past the div>=2
+            # swap trigger between consults, so the prefetcher never got
+            # wall-clock notice (BENCH_r04: prefetch_hits=0, swap_wait 0.5 s).
+            # Now chunks are dispatched back-to-back with NO per-chunk sync:
+            # each chunk's per-frame poses are fetched asynchronously, the
+            # newest LANDED fetch re-anchors a host-side motion model
+            # (constant-acceleration fit of the chunk's frame deltas), and
+            # the ladder is consulted at the PREDICTED pose of the chunk
+            # about to be dispatched. Prediction error is bounded by the
+            # window's (half - sensor) slack like any other staleness; a
+            # wrong prefetch guess just discards a warmed window. One
+            # blocking seed read (chunk 0) starts the model.
+            pend = []          # (first_frame, ego_pos device array)
+            motion = None      # (f_last, xy_last, d, a): frame of the last
+            #                    observed pose, its xy, per-frame velocity,
+            #                    per-frame acceleration
+            windowed = self._host_tmap is not None
+
+            def _fit_motion(ppos, f0):
+                xy = np.asarray(ppos, np.float64)[:, :2]
+                f_last = f0 + len(xy) - 1
+                if len(xy) >= 3:
+                    d = xy[1:] - xy[:-1]
+                    return (f_last, xy[-1], d[-1],
+                            (d[-1] - d[0]) / max(len(d) - 1, 1))
+                if len(xy) == 2:
+                    return f_last, xy[-1], xy[-1] - xy[0], np.zeros(2)
+                return f_last, xy[-1], np.zeros(2), np.zeros(2)
+
+            def _predict(f):
+                f_last, xy, d, a = motion
+                k = max(f - f_last, 0)
+                return xy + k * d + a * (k * (k + 1)) / 2.0
+
+            if windowed and self._window_prefetch:
+                # Warm the FORWARD window before the first frame: the first
+                # swap of a run otherwise has zero notice (the ladder cannot
+                # see motion before the first chunk lands). The configured
+                # initial heading is the serving-time equivalent of the
+                # reference operator's init pose (ekf_init_* ini keys); a
+                # wrong guess is discarded like any stale prefetch.
+                yaw = np.deg2rad(self.cfg.ekf.ekf_init_yaw_deg)
+                fwd = 2.0 * self._host_tmap.tile_size * np.array(
+                    [np.cos(yaw), np.sin(yaw)])
+                self._start_prefetch(np.asarray(self._window_center) + fwd)
+            for ci, k0 in enumerate(range(0, n, chunk)):
                 self._poll_config()
-                if self._host_tmap is not None and pose_pending is not None:
-                    # pose is one chunk stale — absorbed by the window
-                    # margin like any other in-flight motion. Lookahead =
-                    # two chunks of the last chunk's displacement: the
-                    # ladder is only consulted here, once per chunk, and a
-                    # city crop+H2D needs more notice than one chunk of
-                    # wall-clock.
-                    xy = np.asarray(pose_pending)[:2]
-                    la = None if prev_xy is None else 2.0 * (xy - prev_xy)
-                    self._maybe_rewindow(xy, la)
-                    prev_xy = xy
+                if windowed:
+                    if motion is None and ci == 1:
+                        # seed the motion model: one blocking read, once
+                        motion = _fit_motion(np.asarray(pend[0][1]),
+                                             pend[0][0])
+                        pend = pend[1:]
+                    else:
+                        # re-anchor from the newest chunk whose async fetch
+                        # has LANDED — never block the dispatch loop
+                        for i in range(len(pend) - 1, -1, -1):
+                            f0, arr = pend[i]
+                            ready = getattr(arr, "is_ready", None)
+                            if ready is not None and ready():
+                                motion = _fit_motion(np.asarray(arr), f0)
+                                pend = pend[i + 1:]
+                                break
+                    if motion is not None:
+                        # consult at the predicted END of the chunk being
+                        # dispatched (any farther and early-chunk frames
+                        # could see the window centered beyond the sensor
+                        # slack); lookahead = one further chunk, so the
+                        # prefetch targets where the NEXT consult will swap
+                        pred = _predict(k0 + chunk - 1)
+                        la = _predict(k0 + 2 * chunk - 1) - pred
+                        self._maybe_rewindow(pred, la)
                 state, out = chunk_fn(
                     state, batches, jnp.asarray(k0, jnp.int32), self.map
                 )
-                pose_pending = out["ego_pos"][-1]
-                _async_host_fetch(pose_pending)
+                if windowed:
+                    _async_host_fetch(out["ego_pos"])
+                    pend.append((k0, out["ego_pos"]))
+                    del pend[:-8]  # prediction only needs the newest few
                 outs.append(out)
                 if on_scan is not None:
-                    on_scan(out)
+                    # trim the final ragged chunk's pad rows (they re-ran the
+                    # last frame with a clamped index); observers must see
+                    # each real frame exactly once
+                    live = min(chunk, n - k0)
+                    on_scan(out if live == chunk else jax.tree_util.tree_map(
+                        lambda x: x[:live], out))
                 self._maybe_dashboard(state)
             stacked_dev = jax.tree_util.tree_map(
                 lambda *xs: jnp.concatenate(xs), *outs

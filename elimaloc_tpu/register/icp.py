@@ -680,8 +680,15 @@ def run_register(
     if reuse_on:
         # Scan radius bound for the rotation term of the reuse ladder: a
         # step rotating by dtheta moves a point at range r by <= dtheta * r.
+        # Computed from the FULL (pre-shard) inputs, not the slot-packed
+        # buffer: under slot_shard_axis the sbuf slice is device-local and a
+        # per-device src_r would diverge the while-loop trip counts of a
+        # body that contains lax.psum (deadlock/corruption). src_local and
+        # src_valid are replicated in that mode, so this bound is identical
+        # on every device (and >= the packed max — dropped queries only make
+        # the refresh ladder conservative, never stale).
         src_r = jnp.sqrt(jnp.max(jnp.where(
-            asg.qmask, jnp.sum(sbuf * sbuf, axis=-1), 0.0)))
+            src_valid, jnp.sum(src_local * src_local, axis=-1), 0.0)))
         # zero-valued match pytree shaped like a real search — the first
         # iteration always refreshes (moved starts at +inf), so these values
         # are never consumed

@@ -107,6 +107,25 @@ class TestRings:
         np.testing.assert_array_equal(np.asarray(ri_b.gyro),
                                       np.asarray(ri_s.gyro))
 
+    def test_batch_push_overflow_beyond_capacity(self):
+        """M > capacity degrades like M sequential rolling pushes (the old
+        trace-time assert made fused tracing fail where the per-sample path
+        rolled gracefully — ADVICE r4)."""
+        from elimaloc_tpu.pipeline.rings import push_imu_batch
+
+        cap, m = 5, 9
+        ri_s = make_imu_ring(cap, jnp.float64)
+        ri_b = ri_s
+        ts = jnp.asarray(np.linspace(0.1, 0.9, m))
+        g = jnp.arange(3.0 * m).reshape(m, 3)
+        for i in range(m):
+            ri_s = push_imu(ri_s, ts[i], g[i], g[i])
+        ri_b = push_imu_batch(ri_b, ts, g, g, jnp.ones(m, bool))
+        assert int(ri_b.count) == int(ri_s.count) == cap
+        np.testing.assert_array_equal(np.asarray(ri_b.t), np.asarray(ri_s.t))
+        np.testing.assert_array_equal(np.asarray(ri_b.gyro),
+                                      np.asarray(ri_s.gyro))
+
     def test_imu_subbatch_matches_sequential_steps(self):
         """runtime.imu_subbatch == scanning imu_step per sample (the fused
         frame's IMU chain was restructured for TPU launch count; the
