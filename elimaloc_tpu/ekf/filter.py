@@ -57,6 +57,34 @@ from .state import (
 _D2R = jnp.pi / 180.0
 
 
+def _bmm(a, b):
+    """Small [m,k]@[k,n] as broadcast-multiply-reduce.
+
+    Exact f32 on the VPU and fusable with neighboring elementwise work; a
+    ``jnp.matmul(..., precision=HIGHEST)`` on these tiny shapes instead
+    lowers to an MXU dot (3-pass bf16 decomposition) whose dispatch latency
+    dominates the 100-400 Hz IMU chain (docs/BENCH_NOTES.md round-4/5 IMU
+    split)."""
+    return jnp.sum(a[:, :, None] * b[None, :, :], axis=1)
+
+
+def _vpu_forms(dtype) -> bool:
+    """True when the latency-oriented VPU forms (``_bmm``, sparse F P F^T)
+    should replace dense HIGHEST-precision matmuls.
+
+    f32 is the TPU production dtype — there the forms are exact (VPU f32
+    arithmetic) and markedly faster. f64 is the ORACLE-PARITY mode: the
+    closed-loop parity tests (tests/test_oracle_parity.py) pin the pipeline
+    against the float64 NumPy transliteration at centimeter bounds, which
+    requires matching its dense accumulation order — an algebraically
+    identical reordering drifts a rounding-level per-step difference
+    through the ICP feedback loop's discrete decisions (measured: 1e-16
+    open-loop, decimeters closed-loop on GICP). The two forms' algebraic
+    identity is pinned directly by tests/test_ekf.py (sparse-vs-dense
+    propagate on symmetric P)."""
+    return dtype == jnp.float32
+
+
 @dataclasses.dataclass(frozen=True)
 class EkfFlags:
     """Static (compile-time) feature switches — the reference's boolean config
@@ -201,6 +229,8 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
     S = Pi[:, idx_a] + R                # H P H^T + R
     PHt = P[:, idx_a]                   # [27,m]
     m = len(idx)
+    small = m <= 3 and _vpu_forms(P.dtype)
+    mm = _bmm if small else (lambda a, b: jnp.matmul(a, b, precision=_HI))
     if m == 2:
         # closed-form 2x2 inverse: linalg.solve lowers to an LU custom call,
         # which costs ~an entire complementary-filter step at the 100-400 Hz
@@ -209,13 +239,16 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
         det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
         Sinv = jnp.array([[S[1, 1], -S[0, 1]],
                           [-S[1, 0], S[0, 0]]]) / det
-        K = jnp.matmul(PHt, Sinv, precision=lie._HI)
+        K = mm(PHt, Sinv)
     elif m == 3:
         Sinv = lie.inv3x3(S)
-        K = jnp.matmul(PHt, Sinv, precision=lie._HI)
+        K = mm(PHt, Sinv)
     else:
         K = jnp.linalg.solve(S.T, PHt.T).T  # K = P H^T S^-1
-    su = jnp.matmul(K, Y, precision=_HI)  # full-state additive update
+    if small:
+        su = jnp.sum(K * Y[None, :], axis=1)  # full-state additive update
+    else:
+        su = jnp.matmul(K, Y, precision=_HI)
     if joseph:
         # (I-KH)P(I-KH)^T + KRK^T with H a selector: KH = scatter of K's
         # columns into the observed state columns.
@@ -225,7 +258,8 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
             + jnp.einsum("ij,jk,lk->il", K, R, K, precision=_HI)
         )
     else:
-        P_new = P - jnp.matmul(K, Pi, precision=_HI)  # P -= K H P (reference form)
+        # P -= K H P (reference form)
+        P_new = P - mm(K, Pi)
 
     rot = lie.quat_normalize(
         lie.quat_mul(state.rot, lie.quat_from_axis_angle(su[3:6]))
@@ -250,6 +284,62 @@ def _ekf_measurement_update(state: EkfState, idx: Tuple[int, ...], Y, R,
 # --------------------------------------------------------------------------- #
 # IMU prediction (ekf_algorithm.cpp:167-316)
 # --------------------------------------------------------------------------- #
+
+def _fpf_dense(P, G_R_I, Jr, dt, flags: EkfFlags, dtype):
+    """F P F^T with the dense state-transition Jacobian (cpp:275-297) —
+    the oracle-parity form (matches reference_cpu's accumulation order)."""
+    eye3 = jnp.eye(3, dtype=dtype)
+    F = jnp.eye(STATE_ORDER, dtype=dtype)
+    F = F.at[S_X:S_X + 3, S_VX:S_VX + 3].set(eye3 * dt)
+    F = F.at[S_X:S_X + 3, S_B_AX:S_B_AX + 3].set(-0.5 * G_R_I * dt * dt)
+    F = F.at[S_ROLL:S_ROLL + 3, S_B_ROLL_RATE:S_B_ROLL_RATE + 3].set(-Jr)
+    F = F.at[S_VX:S_VX + 3, S_B_AX:S_B_AX + 3].set(-G_R_I * dt)
+    F = F.at[S_ROLL_RATE:S_ROLL_RATE + 3, S_B_ROLL_RATE:S_B_ROLL_RATE + 3].set(-eye3)
+    F = F.at[S_AX:S_AX + 3, S_B_AX:S_B_AX + 3].set(-G_R_I)
+    if flags.imu_estimate_gravity:
+        F = F.at[S_Z, S_G_Z].set(-0.5 * dt * dt)
+        F = F.at[S_VZ, S_G_Z].set(-dt)
+        F = F.at[S_AZ, S_G_Z].set(-1.0)
+    return jnp.einsum("ij,jk,lk->il", F, P, F, precision=_HI)
+
+
+def _fpf_sparse(P, G_R_I, Jr, dt, flags: EkfFlags):
+    """F P F^T in sparse block form — the f32/TPU production form.
+
+    F = I + A where A's only nonzero rows are 0:15 (pos/rot/vel/gyro/acc
+    blocks vs the vel / bias-gyro / bias-acc / gravity-z columns). With P
+    symmetric,
+        F P F^T = P + B + B^T + A B^T,   B = A P,
+    and each block-row of "A @ X" is a couple of 3x3 @ 3xN products — pure
+    fused VPU arithmetic instead of two dense 27x27 HIGHEST-precision MXU
+    dots, which dominate the dispatch-latency-bound IMU chain
+    (docs/BENCH_NOTES.md round-4/5 IMU split). Algebraic identity with
+    ``_fpf_dense`` is pinned by tests/test_ekf.py::test_fpf_sparse_matches_dense;
+    f64 keeps the dense form for closed-loop oracle-parity bit compatibility
+    (see ``_vpu_forms``)."""
+
+    def a_rows(X):
+        """Rows 0:15 of A @ X for X of shape [27, n]."""
+        Gx = _bmm(G_R_I, X[S_B_AX:S_B_AX + 3])
+        Jx = _bmm(Jr, X[S_B_ROLL_RATE:S_B_ROLL_RATE + 3])
+        r_pos = dt * X[S_VX:S_VX + 3] - (0.5 * dt * dt) * Gx
+        r_rot = -Jx
+        r_vel = -dt * Gx
+        r_gyro = -X[S_B_ROLL_RATE:S_B_ROLL_RATE + 3]
+        r_acc = -Gx
+        if flags.imu_estimate_gravity:
+            gz = X[S_G_Z]
+            r_pos = r_pos.at[2].add(-(0.5 * dt * dt) * gz)
+            r_vel = r_vel.at[2].add(-dt * gz)
+            r_acc = r_acc.at[2].add(-gz)
+        return jnp.concatenate([r_pos, r_rot, r_vel, r_gyro, r_acc], axis=0)
+
+    B = a_rows(P)                # [15, 27] = nonzero rows of A P
+    C = a_rows(B.T)              # [15, 15] = nonzero block of A (A P)^T
+    P_new = P.at[:15, :].add(B)
+    P_new = P_new.at[:, :15].add(B.T)
+    return P_new.at[:15, :15].add(C)
+
 
 def _propagate_imu(state: EkfState, imu: ImuMeas, dt, params: EkfParams,
                    flags: EkfFlags) -> EkfState:
@@ -281,23 +371,11 @@ def _propagate_imu(state: EkfState, imu: ImuMeas, dt, params: EkfParams,
     qd = qd.at[S_IMU_ROLL:S_IMU_ROLL + 3].set(params.state_std_rot_rad**2 * dt2)
     Q = jnp.diag(qd)
 
-    # Jacobian F (cpp:275-297)
-    eye3 = jnp.eye(3, dtype=dtype)
-    F = jnp.eye(STATE_ORDER, dtype=dtype)
-    F = F.at[S_X:S_X + 3, S_VX:S_VX + 3].set(eye3 * dt)
-    F = F.at[S_X:S_X + 3, S_B_AX:S_B_AX + 3].set(-0.5 * G_R_I * dt * dt)
-    F = F.at[S_ROLL:S_ROLL + 3, S_B_ROLL_RATE:S_B_ROLL_RATE + 3].set(
-        -lie.right_jacobian_d_rot_d_gyro(corrected_gyro, dt)
-    )
-    F = F.at[S_VX:S_VX + 3, S_B_AX:S_B_AX + 3].set(-G_R_I * dt)
-    F = F.at[S_ROLL_RATE:S_ROLL_RATE + 3, S_B_ROLL_RATE:S_B_ROLL_RATE + 3].set(-eye3)
-    F = F.at[S_AX:S_AX + 3, S_B_AX:S_B_AX + 3].set(-G_R_I)
-    if flags.imu_estimate_gravity:
-        F = F.at[S_Z, S_G_Z].set(-0.5 * dt * dt)
-        F = F.at[S_VZ, S_G_Z].set(-dt)
-        F = F.at[S_AZ, S_G_Z].set(-1.0)
-
-    P_new = jnp.einsum("ij,jk,lk->il", F, state.P, F, precision=_HI) + Q
+    Jr = lie.right_jacobian_d_rot_d_gyro(corrected_gyro, dt)
+    if _vpu_forms(dtype):
+        P_new = _fpf_sparse(state.P, G_R_I, Jr, dt, flags) + Q
+    else:
+        P_new = _fpf_dense(state.P, G_R_I, Jr, dt, flags, dtype) + Q
 
     return state.replace(
         pos=pos_new,

@@ -421,3 +421,31 @@ class TestJosephForm:
         # identical in exact arithmetic; f64 keeps them very close
         np.testing.assert_allclose(np.asarray(a.P), np.asarray(b.P), atol=1e-8)
         np.testing.assert_allclose(np.asarray(a.pos), np.asarray(b.pos), atol=1e-12)
+
+
+def test_fpf_sparse_matches_dense():
+    """The f32/TPU sparse block form of F P F^T (filter._fpf_sparse) is
+    algebraically identical to the dense Jacobian form the f64 oracle-parity
+    mode keeps (filter._fpf_dense) for symmetric P. Pinned here in f64 so
+    the production form's algebra is validated independently of the
+    closed-loop parity tests (which require the dense accumulation order —
+    see filter._vpu_forms)."""
+    from elimaloc_tpu.ekf import filter as flt
+
+    rng = np.random.default_rng(11)
+    for grav_flag in (False, True):
+        flags = __import__("dataclasses").replace(
+            FLAGS, imu_estimate_gravity=grav_flag)
+        for trial in range(3):
+            A = rng.normal(size=(27, 27))
+            P = jnp.asarray(A @ A.T + np.eye(27) * 1e-3)
+            G_R_I = jnp.asarray(ref.so3_exp(rng.normal(size=3)))
+            gyro = jnp.asarray(rng.normal(size=3) * 0.3)
+            dt = 0.011
+            Jr = lie.right_jacobian_d_rot_d_gyro(gyro, dt)
+            dense = flt._fpf_dense(P, G_R_I, Jr, dt, flags, jnp.float64)
+            sparse = flt._fpf_sparse(P, G_R_I, Jr, dt, flags)
+            np.testing.assert_allclose(np.asarray(sparse), np.asarray(dense),
+                                       rtol=1e-12, atol=1e-12)
+    # dispatch: f32 takes the VPU forms, f64 the oracle-parity dense forms
+    assert flt._vpu_forms(jnp.float32) and not flt._vpu_forms(jnp.float64)
