@@ -821,7 +821,7 @@ def _guard(label, fn, default, tpu: bool = True):
     return default
 
 
-def _phase_in_subprocess(phase: str, timeout_s: int = 900):
+def _phase_in_subprocess(phase: str, timeout_s: int = 1800):
     """Run a crash-prone TPU phase in a FRESH process and parse its one JSON
     line. A TPU-worker crash poisons the parent's PJRT client with no
     in-process recovery, so isolation is the only way to both attempt the
